@@ -133,6 +133,8 @@ def _bias_act_pallas(x, b, *, axis, act, alpha, gain, clamp):
 
     row_tile = min(n, 512)
     grid = (pl.cdiv(n, row_tile),)
+    # Pallas TPU kernels run interpreted on non-TPU backends (CPU test mesh).
+    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         functools.partial(_bias_act_kernel, act=act, alpha=alpha, gain=float(gain), clamp=clamp),
         out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
@@ -142,6 +144,7 @@ def _bias_act_pallas(x, b, *, axis, act, alpha, gain, clamp):
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((row_tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x2, b.reshape(1, c))
     out = out.reshape(moved_shape)
     if axis != len(orig_shape) - 1:
