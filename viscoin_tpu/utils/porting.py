@@ -1,0 +1,265 @@
+"""Torch-checkpoint → Flax-params converters (weight porting).
+
+The reference ships/loads five pretrained torch networks (SURVEY.md §2.2):
+HF ResNet-50, the StyleGAN2 pickle, LPIPS VGG, CLIP ViT-B/32 and the FID
+Inception. These converters map torch ``state_dict`` tensors (as numpy
+arrays) onto the parameter pytrees of the corresponding Flax modules, so a
+user of the reference can carry their checkpoints over.
+
+Conventions:
+  * torch conv weights (Co, Ci, kh, kw) → HWIO ``transpose(2, 3, 1, 0)``.
+  * torch linear weights (out, in) stay (out, in) for the equalized-LR
+    StyleGAN layers (stored torch-style) and transpose to (in, out) for
+    flax ``nn.Dense`` kernels.
+  * BatchNorm: weight→scale, bias→bias, running_mean/var→batch_stats.
+
+All functions accept ``dict[str, np.ndarray]`` (call ``.numpy()`` on torch
+tensors first, or use :func:`state_dict_to_numpy`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
+    """Detach a torch state_dict into plain numpy arrays."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _bn(sd: dict, prefix: str) -> tuple[dict, dict]:
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def _convbn(sd: dict, conv_key: str, bn_key: str) -> tuple[dict, dict]:
+    bn_p, bn_s = _bn(sd, bn_key)
+    return (
+        {"conv": {"kernel": _conv(sd[f"{conv_key}.weight"])}, "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def convert_torch_classifier(
+    sd: dict[str, np.ndarray],
+    depths=(3, 4, 6, 3),
+) -> dict:
+    """Convert the reference Classifier state_dict (HF ResNetModel under
+    ``resnet.`` + head under ``linear.``, viscoin/models/classifiers.py) into
+    variables for :class:`viscoin_tpu.models.resnet.Classifier`."""
+    params: dict = {"resnet": {}, "linear": {}}
+    stats: dict = {"resnet": {}}
+
+    p, s = _convbn(
+        sd,
+        "resnet.embedder.embedder.convolution",
+        "resnet.embedder.embedder.normalization",
+    )
+    params["resnet"]["embedder"] = p
+    stats["resnet"]["embedder"] = s
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            base = f"resnet.encoder.stages.{i}.layers.{j}"
+            blk_p, blk_s = {}, {}
+            for conv_idx, name in enumerate(["conv1", "conv2", "conv3"]):
+                p, s = _convbn(
+                    sd,
+                    f"{base}.layer.{conv_idx}.convolution",
+                    f"{base}.layer.{conv_idx}.normalization",
+                )
+                blk_p[name], blk_s[name] = p, s
+            if f"{base}.shortcut.convolution.weight" in sd:
+                p, s = _convbn(sd, f"{base}.shortcut.convolution", f"{base}.shortcut.normalization")
+                blk_p["shortcut"], blk_s["shortcut"] = p, s
+            params["resnet"][f"stage{i}_block{j}"] = blk_p
+            stats["resnet"][f"stage{i}_block{j}"] = blk_s
+
+    params["linear"] = {
+        "kernel": np.transpose(sd["linear.weight"], (1, 0)),
+        "bias": sd["linear.bias"],
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+# ------------------------- Psi / Theta / Concept2CLIP ----------------------- #
+
+
+def _dense(sd: dict, prefix: str) -> dict:
+    out = {"kernel": np.transpose(sd[f"{prefix}.weight"], (1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _conv_with_bias(sd: dict, prefix: str) -> dict:
+    return {"kernel": _conv(sd[f"{prefix}.weight"]), "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_torch_concept_extractor(sd: dict[str, np.ndarray]) -> dict:
+    """Reference ConceptExtractor (viscoin/models/concept_extractors.py)
+    state_dict → params for :class:`ConceptExtractor`."""
+    return {
+        "conv1": _conv_with_bias(sd, "conv1"),
+        "conv2": _conv_with_bias(sd, "conv2"),
+        "conv3": _conv_with_bias(sd, "conv3"),
+        "conv4": _conv_with_bias(sd, "conv4"),
+        "conv5": _conv_with_bias(sd, "conv5"),
+        "linear1": _dense(sd, "linear1"),
+        "linear2": _dense(sd, "linear2"),
+    }
+
+
+def convert_torch_explainer(sd: dict[str, np.ndarray]) -> dict:
+    """Reference Explainer (viscoin/models/explainers.py) state_dict →
+    params for :class:`Explainer` (handles the weight_norm parametrization)."""
+    if "linear.parametrizations.weight.original0" in sd:
+        return {
+            "weight_g": sd["linear.parametrizations.weight.original0"].reshape(-1, 1),
+            "weight_v": sd["linear.parametrizations.weight.original1"],
+            "bias": sd["linear.bias"],
+        }
+    if "linear.weight_g" in sd:  # legacy torch weight_norm
+        return {
+            "weight_g": sd["linear.weight_g"].reshape(-1, 1),
+            "weight_v": sd["linear.weight_v"],
+            "bias": sd["linear.bias"],
+        }
+    return {"linear": _dense(sd, "linear")}
+
+
+def convert_torch_concept2clip(sd: dict[str, np.ndarray]) -> dict:
+    """Reference Concept2CLIP / Concept2CLIPStyleGAN (3 Linear layers in an
+    nn.Sequential at indices 0, 2, 4) state_dict → params."""
+    return {
+        "fc0": _dense(sd, "model.0"),
+        "fc1": _dense(sd, "model.2"),
+        "fc2": _dense(sd, "model.4"),
+    }
+
+
+# ------------------------------- StyleGAN2 --------------------------------- #
+
+
+def _fc(sd: dict, prefix: str) -> dict:
+    out = {"weight": sd[f"{prefix}.weight"]}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _synthesis_layer(sd: dict, prefix: str) -> tuple[dict, dict]:
+    params = {
+        "affine": _fc(sd, f"{prefix}.affine"),
+        "weight": _conv(sd[f"{prefix}.weight"]),
+        "bias": sd[f"{prefix}.bias"],
+    }
+    noise = {}
+    if f"{prefix}.noise_strength" in sd:
+        params["noise_strength"] = np.asarray(sd[f"{prefix}.noise_strength"])
+        if f"{prefix}.noise_const" in sd:
+            noise["noise_const"] = sd[f"{prefix}.noise_const"]
+    return params, noise
+
+
+def convert_torch_synthesis(sd: dict[str, np.ndarray], prefix: str = "synthesis",
+                            img_resolution: int = 256) -> dict:
+    """Convert a torch SynthesisNetwork state_dict subtree into
+    {"params": ..., "noise": ...} for :class:`SynthesisNetwork`."""
+    import math
+
+    params: dict = {}
+    noise: dict = {}
+    resolutions = [2**i for i in range(2, int(math.log2(img_resolution)) + 1)]
+    for res in resolutions:
+        bp: dict = {}
+        bn: dict = {}
+        base = f"{prefix}.b{res}"
+        if res == 4:
+            bp["const"] = np.transpose(sd[f"{base}.const"], (1, 2, 0))  # CHW -> HWC
+        else:
+            p, n = _synthesis_layer(sd, f"{base}.conv0")
+            bp["conv0"] = p
+            if n:
+                bn["conv0"] = n
+        p, n = _synthesis_layer(sd, f"{base}.conv1")
+        bp["conv1"] = p
+        if n:
+            bn["conv1"] = n
+        if f"{base}.torgb.weight" in sd:
+            bp["torgb"] = {
+                "affine": _fc(sd, f"{base}.torgb.affine"),
+                "weight": _conv(sd[f"{base}.torgb.weight"]),
+                "bias": sd[f"{base}.torgb.bias"],
+            }
+        params[f"b{res}"] = bp
+        if bn:
+            noise[f"b{res}"] = bn
+    return {"params": params, "noise": noise}
+
+
+def convert_torch_generator(sd: dict[str, np.ndarray], img_resolution: int = 256,
+                            mapping_layers: int = 2) -> dict:
+    """Convert a full torch StyleGAN2 Generator state_dict into variables for
+    :class:`viscoin_tpu.models.stylegan.Generator`."""
+    syn = convert_torch_synthesis(sd, "synthesis", img_resolution)
+    mapping: dict = {}
+    for i in range(mapping_layers):
+        mapping[f"fc{i}"] = _fc(sd, f"mapping.fc{i}")
+    variables = {
+        "params": {"synthesis": syn["params"], "mapping": mapping},
+        "noise": {"synthesis": syn["noise"]},
+    }
+    if "mapping.w_avg" in sd:
+        variables["moving_stats"] = {"mapping": {"w_avg": sd["mapping.w_avg"]}}
+    return variables
+
+
+def convert_torch_adapted_mapping(
+    sd: dict[str, np.ndarray],
+    prefix: str = "mapping",
+    num_ws: int = 14,
+    num_layers: int = 1,
+    coarse_layer: int = 2,
+    mid_layer: int = 10,
+) -> dict:
+    """Convert the reference MappingNetworkAdapted per-index MLPs (s0..s13,
+    viscoin/models/gan.py:189-209) into the stacked two-group layout of
+    :class:`MappingNetworkAdapted` (g1 = coarse..mid from z1, g2 = rest)."""
+    g1 = [i for i in range(num_ws) if coarse_layer <= i <= mid_layer]
+    g2 = [i for i in range(num_ws) if i < coarse_layer or i > mid_layer]
+    params: dict = {}
+    for name, idxs in (("g1", g1), ("g2", g2)):
+        for layer in range(num_layers):
+            w = np.stack([sd[f"{prefix}.s{i}.{layer}.weight"] for i in idxs])
+            b = np.stack([sd[f"{prefix}.s{i}.{layer}.bias"] for i in idxs])
+            params[f"{name}_w{layer}"] = w
+            params[f"{name}_b{layer}"] = b
+    params["fixed_w_avg"] = sd[f"{prefix}.fixed_w_avg"]
+    return params
+
+
+def convert_torch_generator_adapted(sd: dict[str, np.ndarray], img_resolution: int = 256,
+                                    num_layers: int = 1, coarse_layer: int = 2,
+                                    mid_layer: int = 10) -> dict:
+    """Convert the reference GeneratorAdapted state_dict (viscoin/models/gan.py)."""
+    import math
+
+    num_ws = 2 * int(math.log2(img_resolution)) - 2
+    syn = convert_torch_synthesis(sd, "synthesis", img_resolution)
+    mapping = convert_torch_adapted_mapping(
+        sd, "mapping", num_ws=num_ws, num_layers=num_layers,
+        coarse_layer=coarse_layer, mid_layer=mid_layer,
+    )
+    return {
+        "params": {"synthesis": syn["params"], "mapping": mapping},
+        "noise": {"synthesis": syn["noise"]},
+    }
