@@ -1,0 +1,86 @@
+"""LPIPS perceptual distance (VGG16 backbone) in Flax, NHWC.
+
+TPU-native replacement for the pip `lpips` package used by the reference
+(viscoin/training/losses.py:104-122, `lpips.LPIPS(net="vgg")`): a VGG16
+feature stack sliced at relu1_2/2_2/3_3/4_3/5_3, channel-unit-normalized
+feature differences, learned non-negative 1x1 linear heads, spatial mean,
+summed over the five layers. Input scaling uses LPIPS's fixed shift/scale
+(version 0.1). The reference feeds ImageNet-normalized tensors straight in;
+we reproduce that behavior (the distance is what matters, not the nominal
+input range).
+
+Pretrained torch weights (torchvision VGG16 + lpips linear heads) port via
+:func:`viscoin_tpu.utils.porting.convert_torch_lpips`. With random weights the
+distance is still a valid smooth perceptual-style metric (random VGG features
+are a known-reasonable proxy), so training runs end-to-end without downloads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# LPIPS v0.1 ScalingLayer constants.
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
+
+# VGG16 'D' configuration grouped into the 5 LPIPS slices (channels per conv).
+_SLICES = (
+    (64, 64),  # relu1_2
+    (128, 128),  # relu2_2
+    (256, 256, 256),  # relu3_3
+    (512, 512, 512),  # relu4_3
+    (512, 512, 512),  # relu5_3
+)
+
+LPIPS_CHANNELS = tuple(s[-1] for s in _SLICES)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 feature extractor returning the 5 LPIPS slice outputs (NHWC)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, ...]:
+        outs = []
+        conv_idx = 0
+        for slice_idx, channels in enumerate(_SLICES):
+            if slice_idx > 0:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            for ch in channels:
+                x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv{conv_idx}")(x)
+                x = nn.relu(x)
+                conv_idx += 1
+            outs.append(x)
+        return tuple(outs)
+
+
+def _unit_normalize(x: jax.Array, eps: float = 1e-10) -> jax.Array:
+    """Channel-wise unit normalization (lpips.normalize_tensor)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """Learned perceptual distance: __call__(x, y) -> (B,) distances."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        shift = jnp.asarray(_SHIFT, x.dtype)
+        scale = jnp.asarray(_SCALE, x.dtype)
+        net = VGG16Features(name="vgg")
+        fx = net((x - shift) / scale)
+        fy = net((y - shift) / scale)
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            diff = jnp.square(_unit_normalize(a) - _unit_normalize(b))
+            lin = self.param(
+                f"lin{i}",
+                nn.initializers.uniform(scale=1.0),  # non-negative init like lpips
+                (LPIPS_CHANNELS[i],),
+            )
+            # 1x1 conv head == channel-weighted sum; spatial mean afterwards.
+            total = total + jnp.mean(jnp.sum(diff * lin[None, None, None, :], axis=-1),
+                                     axis=(1, 2))
+        return total

@@ -146,6 +146,41 @@ def convert_torch_concept2clip(sd: dict[str, np.ndarray]) -> dict:
     }
 
 
+# --------------------------------- LPIPS ----------------------------------- #
+
+
+def convert_torch_lpips(sd: dict[str, np.ndarray]) -> dict:
+    """Convert a pip-`lpips` LPIPS(net='vgg') state_dict into params for
+    :class:`viscoin_tpu.models.lpips.LPIPS`.
+
+    Torch keys: ``net.slice{s}.{layer_idx}.weight/bias`` (torchvision VGG16
+    feature indices) and ``lin{i}.model.1.weight`` (1x1 conv heads, shape
+    (1, C, 1, 1))."""
+    # torchvision vgg16.features conv indices grouped by LPIPS slice
+    slice_layers = {
+        1: [0, 2],
+        2: [5, 7],
+        3: [10, 12, 14],
+        4: [17, 19, 21],
+        5: [24, 26, 28],
+    }
+    vgg: dict = {}
+    conv_idx = 0
+    for s in range(1, 6):
+        for li in slice_layers[s]:
+            key = f"net.slice{s}.{li}.weight"
+            vgg[f"conv{conv_idx}"] = {
+                "kernel": _conv(sd[key]),
+                "bias": sd[f"net.slice{s}.{li}.bias"],
+            }
+            conv_idx += 1
+    params: dict = {"vgg": vgg}
+    for i in range(5):
+        w = sd.get(f"lin{i}.model.1.weight", sd.get(f"lins.{i}.model.1.weight"))
+        params[f"lin{i}"] = np.asarray(w).reshape(-1)
+    return params
+
+
 # ------------------------------- StyleGAN2 --------------------------------- #
 
 
