@@ -39,8 +39,13 @@ class _TorchLPIPS(torch.nn.Module):
         super().__init__()
         feats = _build_vgg_features()
         self.net = torch.nn.Module()
+        # Real lpips keeps the ORIGINAL torchvision feature indices as module
+        # names inside each slice (lpips/pretrained_networks.py) — replicate.
         for i, (lo, hi) in enumerate(_SLICE_BOUNDS, start=1):
-            setattr(self.net, f"slice{i}", torch.nn.Sequential(*list(feats)[lo:hi]))
+            slice_mod = torch.nn.Sequential()
+            for li in range(lo, hi):
+                slice_mod.add_module(str(li), feats[li])
+            setattr(self.net, f"slice{i}", slice_mod)
         chans = [64, 128, 256, 512, 512]
         for i, c in enumerate(chans):
             lin = torch.nn.Sequential(torch.nn.Dropout(), torch.nn.Conv2d(c, 1, 1, bias=False))
