@@ -48,8 +48,11 @@ class _TorchLPIPS(torch.nn.Module):
             setattr(self.net, f"slice{i}", slice_mod)
         chans = [64, 128, 256, 512, 512]
         for i, c in enumerate(chans):
-            lin = torch.nn.Sequential(torch.nn.Dropout(), torch.nn.Conv2d(c, 1, 1, bias=False))
-            torch.nn.init.uniform_(lin[1].weight, 0, 1)
+            # Real lpips NetLinLayer: self.model = Sequential(Dropout, Conv2d)
+            # → state-dict keys "lin{i}.model.1.weight".
+            lin = torch.nn.Module()
+            lin.model = torch.nn.Sequential(torch.nn.Dropout(), torch.nn.Conv2d(c, 1, 1, bias=False))
+            torch.nn.init.uniform_(lin.model[1].weight, 0, 1)
             setattr(self, f"lin{i}", lin)
         self.register_buffer("shift", torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
         self.register_buffer("scale", torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1))
@@ -69,7 +72,7 @@ class _TorchLPIPS(torch.nn.Module):
         total = 0
         for i, (a, b) in enumerate(zip(feats(x), feats(y))):
             d = (unit(a) - unit(b)) ** 2
-            total = total + getattr(self, f"lin{i}")(d).mean(dim=(2, 3)).squeeze(1)
+            total = total + getattr(self, f"lin{i}").model(d).mean(dim=(2, 3)).squeeze(1)
         return total
 
 

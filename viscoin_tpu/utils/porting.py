@@ -176,7 +176,9 @@ def convert_torch_lpips(sd: dict[str, np.ndarray]) -> dict:
             conv_idx += 1
     params: dict = {"vgg": vgg}
     for i in range(5):
-        w = sd.get(f"lin{i}.model.1.weight", sd.get(f"lins.{i}.model.1.weight"))
+        w = sd.get(f"lin{i}.model.1.weight")
+        if w is None:
+            w = sd[f"lins.{i}.model.1.weight"]
         params[f"lin{i}"] = np.asarray(w).reshape(-1)
     return params
 
