@@ -1,0 +1,115 @@
+"""Data pipeline tests: transform parity with torchvision semantics and the
+loader contract (fixed uint8 shapes, device preprocessing)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from viscoin_tpu.data.datasets import SyntheticDataset
+from viscoin_tpu.data.loader import DataLoader, loop_iter
+from viscoin_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    denormalize,
+    device_preprocess,
+    host_test_transform,
+    host_train_transform,
+    random_resized_crop_params,
+)
+
+
+def test_host_train_transform_shape(rng):
+    img = rng.integers(0, 256, (300, 431, 3), dtype=np.uint8)
+    out = host_train_transform(img, rng)
+    assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+
+
+def test_random_resized_crop_params_bounds(rng):
+    for _ in range(50):
+        t, l, h, w = random_resized_crop_params(120, 200, rng)
+        assert 0 <= t and t + h <= 120 and 0 <= l and l + w <= 200
+        assert 3 / 4 - 0.1 <= w / h <= 4 / 3 + 0.1
+
+
+def test_host_test_transform_matches_torchvision(rng):
+    torch = pytest.importorskip("torch")
+    img = rng.integers(0, 256, (300, 431, 3), dtype=np.uint8)
+    got = host_test_transform(img)
+    assert got.shape == (256, 256, 3)
+    # Compare against PIL-based resize + center crop (what torchvision v2
+    # does for PIL inputs) — identical code path, so exact equality.
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    resize_to = 292
+    nh, nw = resize_to, int(round(w * resize_to / h))
+    ref = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+    top, left = (nh - 256) // 2, (nw - 256) // 2
+    ref = ref[top : top + 256, left : left + 256]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_device_preprocess_normalization(rng):
+    u8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    out = np.asarray(device_preprocess(jnp.asarray(u8)))
+    want = (u8.astype(np.float32) / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_device_preprocess_flip(rng):
+    u8 = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+    flip = jnp.asarray([True, False])
+    out = np.asarray(device_preprocess(jnp.asarray(u8), flip))
+    base = np.asarray(device_preprocess(jnp.asarray(u8)))
+    np.testing.assert_allclose(out[0], base[0, :, ::-1, :], rtol=1e-6)
+    np.testing.assert_allclose(out[1], base[1], rtol=1e-6)
+
+
+def test_denormalize_roundtrip(rng):
+    u8 = rng.integers(0, 256, (1, 4, 4, 3), dtype=np.uint8)
+    x = device_preprocess(jnp.asarray(u8))
+    back = np.asarray(denormalize(x))
+    np.testing.assert_allclose(back, u8.astype(np.float32) / 255.0, rtol=1e-4, atol=1e-5)
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticDataset(n=10, n_classes=3, image_size=64)
+    img, label = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert label == 0
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    images, labels = batches[0]
+    assert images.shape == (4, 64, 64, 3) and labels.shape == (4,)
+    sizes = [b[0].shape[0] for b in batches]
+    assert sum(sizes) == 10
+
+    dl = DataLoader(ds, batch_size=4, drop_last=True)
+    assert len(dl) == 2 and all(b[0].shape[0] == 4 for b in dl)
+
+
+def test_loop_iter():
+    ds = SyntheticDataset(n=4, n_classes=2, image_size=32)
+    loader = DataLoader(ds, batch_size=2, num_threads=0)
+    it = loop_iter(loader)
+    for _ in range(5):  # cycles past one epoch (2 batches)
+        images, labels = next(it)
+        assert images.shape[0] == 2
+
+
+def test_train_augmentation_not_frozen():
+    """Unlike the reference's transformed-tensor cache (cub.py:172-176), we
+    re-augment each access; cache_transformed=True restores parity behavior."""
+    ds = SyntheticDataset(n=2, n_classes=2, image_size=64)
+    a = ds[0][0]
+    b = ds[0][0]
+    assert not np.array_equal(a, b)
+
+    frozen = SyntheticDataset(n=2, n_classes=2, image_size=64)
+    frozen.cache_transformed = True
+    a = frozen[0][0]
+    b = frozen[0][0]
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,253 @@
+"""Datasets: CUB-200-2011, FunnyBirds, and a synthetic dataset for tests/bench.
+
+Reference: viscoin/datasets/{cub.py,funnybirds.py}. Differences by design:
+
+  * No kagglehub / HTTP auto-download (this environment has zero egress, and
+    a framework should not hard-require a download service): the dataset root
+    resolves from an explicit argument, then ``$VISCOIN_DATA_DIR``, then
+    ``~/.cache/viscoin/datasets``. The on-disk layouts are identical to the
+    reference's downloads, so a reference user can point at the same files.
+  * Images are decoded once to uint8 and cached (like the reference's
+    image_cache, cub.py:89-91) — but we cache the *decoded* image, not the
+    transformed tensor, so train-mode augmentation stays random across epochs
+    (the reference freezes the first epoch's random crops by caching the
+    transformed tensor; set ``cache_transformed=True`` for that behavior).
+  * __getitem__ returns fixed-size uint8 arrays; float conversion, flip and
+    normalization run on-device (see data/transforms.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Literal
+
+import numpy as np
+
+from viscoin_tpu.data.transforms import host_test_transform, host_train_transform
+
+Mode = Literal["train", "test"]
+
+
+def data_root() -> str:
+    return os.environ.get(
+        "VISCOIN_DATA_DIR", os.path.join(os.path.expanduser("~"), ".cache", "viscoin", "datasets")
+    )
+
+
+class ImageDataset:
+    """Base: decoded-uint8 cache + host geometric transform to 256² uint8."""
+
+    out_size: int = 256  # model input resolution the host transform targets
+
+    def __init__(self, mode: Mode, transform: Mode | None = None, seed: int = 0,
+                 cache_transformed: bool = False):
+        self.mode: Mode = mode
+        self.transform_mode: Mode = transform if transform is not None else mode
+        self._cache: dict[int, np.ndarray] = {}
+        self._rng = np.random.default_rng(seed)
+        self.cache_transformed = cache_transformed
+
+    # subclasses implement:
+    def _load_raw(self, index: int) -> np.ndarray:  # uint8 HWC, original size
+        raise NotImplementedError
+
+    def _label(self, index: int) -> int:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def raw_image(self, index: int) -> np.ndarray:
+        if index in self._cache and not self.cache_transformed:
+            return self._cache[index]
+        img = self._load_raw(index)
+        if not self.cache_transformed:
+            self._cache[index] = img
+        return img
+
+    def __getitem__(self, index: int) -> tuple[np.ndarray, int]:
+        if self.cache_transformed and index in self._cache:
+            return self._cache[index], self._label(index)
+        img = self.raw_image(index)
+        if self.transform_mode == "train":
+            out = host_train_transform(img, self._rng, size=self.out_size)
+        else:
+            out = host_test_transform(img, size=self.out_size,
+                                      resize_to=int(self.out_size / 0.875))
+        if self.cache_transformed:
+            self._cache[index] = out
+        return out, self._label(index)
+
+    @property
+    def labels_array(self) -> np.ndarray:
+        return np.asarray([self._label(i) for i in range(len(self))], np.int64)
+
+
+class CUB_200_2011(ImageDataset):
+    """CUB-200-2011 (reference: viscoin/datasets/cub.py:30-180).
+
+    Expects the standard extracted layout under ``root``:
+    images.txt, image_class_labels.txt, train_test_split.txt,
+    bounding_boxes.txt, images/, attributes/."""
+
+    N_CLASSES = 200
+
+    def __init__(self, mode: Mode = "train", bbox_only: bool = False,
+                 transform: Mode | None = None, root: str | None = None, **kw):
+        super().__init__(mode, transform, **kw)
+        self.dataset_path = root or os.path.join(data_root(), "CUB_200_2011")
+        if not os.path.isdir(self.dataset_path):
+            raise FileNotFoundError(
+                f"CUB_200_2011 not found at {self.dataset_path}; set VISCOIN_DATA_DIR "
+                "or pass root= (layout: the extracted CUB_200_2011 directory)."
+            )
+        self.bbox_only = bbox_only
+
+        split = np.loadtxt(os.path.join(self.dataset_path, "train_test_split.txt"),
+                           dtype=int, delimiter=" ")
+        self.train_indexes = split[split[:, 1] == 1][:, 0] - 1
+        self.test_indexes = split[split[:, 1] == 0][:, 0] - 1
+
+        labels = np.loadtxt(os.path.join(self.dataset_path, "image_class_labels.txt"),
+                            dtype=int, delimiter=" ")
+        self.labels = labels[:, 1] - 1  # file labels are 1-based
+
+        paths = np.loadtxt(os.path.join(self.dataset_path, "images.txt"),
+                           dtype=str, delimiter=" ")
+        self.image_paths = paths[:, 1]
+
+        bboxes = np.loadtxt(os.path.join(self.dataset_path, "bounding_boxes.txt"),
+                            dtype=float, delimiter=" ").astype(int)
+        self.bboxes = bboxes[:, 1:]
+
+    def _abs_index(self, index: int) -> int:
+        return int(self.train_indexes[index] if self.mode == "train" else self.test_indexes[index])
+
+    def __len__(self):
+        return len(self.train_indexes) if self.mode == "train" else len(self.test_indexes)
+
+    def _label(self, index: int) -> int:
+        return int(self.labels[self._abs_index(index)])
+
+    def _load_raw(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        ai = self._abs_index(index)
+        img = Image.open(os.path.join(self.dataset_path, "images", self.image_paths[ai]))
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if self.bbox_only:
+            x, y, w, h = self.bboxes[ai]
+            img = img.crop((x, y, min(x + w, img.width), min(y + h, img.height)))
+        return np.asarray(img, np.uint8)
+
+
+class LabeledCUB(CUB_200_2011):
+    """CUB with generated captions from class + random attributes
+    (reference: viscoin/datasets/cub.py:183-246)."""
+
+    def __init__(self, attributes_per_label: int = 3, **kw):
+        super().__init__(**kw)
+        self.attributes_per_label = attributes_per_label
+        self.class_labels = {
+            int(k): v.split(".")[1].replace("_", " ")
+            for k, v in np.loadtxt(os.path.join(self.dataset_path, "classes.txt"),
+                                   dtype=str, delimiter=" ")
+        }
+        self.attributes_labels = {
+            int(k): v
+            for k, v in np.loadtxt(
+                os.path.join(self.dataset_path, "attributes", "attributes.txt"),
+                dtype=str, delimiter=" ",
+            )
+        }
+        raw = np.loadtxt(
+            os.path.join(self.dataset_path, "attributes", "image_attribute_labels_clean.txt"),
+            dtype=int, delimiter=" ",
+        )
+        n_images = len(self.labels)
+        self.attributes: list[np.ndarray] = [None] * n_images  # type: ignore
+        present = raw[raw[:, 2] == 1]
+        for img_id in range(1, n_images + 1):
+            self.attributes[img_id - 1] = present[present[:, 0] == img_id][:, 1]
+
+    def get_caption(self, index: int) -> str:
+        ai = self._abs_index(index)
+        class_name = self.class_labels[int(self.labels[ai]) + 1]
+        attrs = self.attributes[ai]
+        labels = [self.attributes_labels[int(a)].split("::") for a in attrs]
+        n = min(self.attributes_per_label, len(labels))
+        chosen = self._rng.choice(len(labels), n, replace=False) if n else []
+        parts = [
+            f"with {labels[i][1].replace('_', ' ')}"
+            f"{labels[i][0].lstrip('has').replace('_', ' ')}"
+            for i in chosen
+        ]
+        return f"A picture of a {class_name} {', '.join(parts)}."
+
+    def __getitem__(self, index: int):
+        img, label = super().__getitem__(index)
+        return img, label, self.get_caption(index)
+
+
+class FunnyBirds(ImageDataset):
+    """FunnyBirds (reference: viscoin/datasets/funnybirds.py:24-115):
+    {root}/{train|test}/{class_id}/{image}.png, 50 classes."""
+
+    N_CLASSES = 50
+
+    def __init__(self, mode: Mode = "train", transform: Mode | None = None,
+                 root: str | None = None, **kw):
+        super().__init__(mode, transform, **kw)
+        self.dataset_path = root or os.path.join(data_root(), "FunnyBirds")
+        folder = os.path.join(self.dataset_path, mode)
+        if not os.path.isdir(folder):
+            raise FileNotFoundError(
+                f"FunnyBirds not found at {folder}; set VISCOIN_DATA_DIR or pass root=."
+            )
+        self.image_paths: list[str] = []
+        self.labels: list[int] = []
+        for cls in sorted(os.listdir(folder)):
+            sub = os.path.join(folder, cls)
+            if not os.path.isdir(sub):
+                continue
+            for name in sorted(os.listdir(sub)):
+                self.image_paths.append(os.path.join(cls, name))
+                self.labels.append(int(cls))
+
+    def __len__(self):
+        return len(self.labels)
+
+    def _label(self, index: int) -> int:
+        return self.labels[index]
+
+    def _load_raw(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.dataset_path, self.mode, self.image_paths[index]))
+        return np.asarray(img.convert("RGB"), np.uint8)
+
+
+class SyntheticDataset(ImageDataset):
+    """Deterministic random images — CI/bench stand-in when no dataset is on
+    disk (the reference has no offline story at all; tests need one)."""
+
+    def __init__(self, n: int = 64, n_classes: int = 10, image_size: int = 256,
+                 mode: Mode = "train", transform: Mode | None = None, seed: int = 0):
+        super().__init__(mode, transform, seed=seed)
+        self.n = n
+        self.n_classes = n_classes
+        self.image_size = image_size
+        self.out_size = image_size
+        self.N_CLASSES = n_classes
+
+    def __len__(self):
+        return self.n
+
+    def _label(self, index: int) -> int:
+        return index % self.n_classes
+
+    def _load_raw(self, index: int) -> np.ndarray:
+        rng = np.random.default_rng(index + (0 if self.mode == "train" else 10_000))
+        s = self.image_size
+        return rng.integers(0, 256, (s + index % 7, s + index % 5, 3), dtype=np.uint8)

@@ -1,0 +1,93 @@
+"""Batched data loading with background prefetch.
+
+Replaces torch.utils.data.DataLoader (reference: viscoin/datasets/utils.py:154)
+with a torch-free loader that yields fixed-shape uint8 numpy batches ready for
+the device-side preprocessing graph. A thread pool overlaps host decode/crop
+with device compute (the reference relies on torch DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterates (images uint8 (B, S, S, 3), labels int32 (B,)) batches."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = False, num_threads: int = 8,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            yield idx[start : start + self.batch_size]
+
+    def _make_batch(self, indices, pool: ThreadPoolExecutor | None):
+        if pool is not None:
+            items = list(pool.map(self.dataset.__getitem__, indices))
+        else:
+            items = [self.dataset[i] for i in indices]
+        images = np.stack([it[0] for it in items])
+        labels = np.asarray([it[1] for it in items], np.int32)
+        if len(items[0]) == 3:  # captioned dataset
+            return images, labels, [it[2] for it in items]
+        return images, labels
+
+    def __iter__(self):
+        self._epoch += 1
+        batches = list(self._batch_indices())
+        if self.num_threads <= 0:
+            for b in batches:
+                yield self._make_batch(b, None)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(b, pool))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def loop_iter(loader):
+    """Infinite cycling iterator (reference: viscoin/training/utils.py:45)."""
+    while True:
+        yield from loader
