@@ -1,0 +1,56 @@
+"""Device mesh + sharding helpers — the framework's scaling layer.
+
+The reference has NO distributed capability (SURVEY.md §2.4: no
+torch.distributed/NCCL anywhere; one process, one GPU). Scaling here is a
+first-class new design: a 1-D ``data`` mesh for the VisCoIN workload (vision
+CNN/GAN, batch is the natural scaling axis), expressed with
+``jax.sharding.Mesh`` + NamedSharding so XLA GSPMD lays the gradient
+all-reduce on ICI. The mesh generalizes to 2-D ("data", "model") for future
+spatially-sharded synthesis (GSPMD expresses it without custom code).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """A 1-D data-parallel mesh over the first n devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+    """Place host arrays onto the mesh, sharded along their leading dim."""
+    sharding = batch_sharding(mesh, axis)
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int):
+    """Pad the leading dim up to a multiple (for uneven final batches);
+    returns (padded, real_count)."""
+    n = batch.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch, n
+    pad = np.repeat(batch[:1], rem, axis=0)
+    return np.concatenate([batch, pad], axis=0), n

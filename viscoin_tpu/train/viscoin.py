@@ -1,0 +1,256 @@
+"""VisCoIN ensemble training — one jitted, data-parallel step.
+
+Reference: viscoin/training/viscoin.py:48-295 (the 100k-iteration hot loop,
+call stack SURVEY.md §3.1). TPU-first redesign:
+
+  * the entire iteration — device-side preprocessing, synthetic-sample
+    generation through the frozen original GAN, the five network forwards
+    (f(x), Psi, Theta, G(z), f(x̂)) plus LPIPS, the backward pass, and both
+    Adam updates — is ONE jitted function. The reference crosses the
+    host↔device boundary every step for batching and `.item()` logging; here
+    metrics stay on device and are fetched asynchronously.
+  * data parallelism over a ``jax.sharding.Mesh`` (new capability — the
+    reference is single-GPU, SURVEY.md §2.4): the batch is sharded on the
+    ``data`` axis, parameters are replicated, and XLA GSPMD inserts the
+    gradient all-reduce over ICI.
+  * the LR schedule (×0.8 per 1000 it after the first half,
+    training/viscoin.py:152-156) is an optax schedule; gradient accumulation
+    (utils.py:52-69) is ``optax.MultiSteps``.
+  * the loss-gating of concept-regularization and fidelity losses after
+    ``cd_fid_iteration`` (viscoin.py:183-188) is a smooth step-mask inside the
+    jit (no recompilation).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from viscoin_tpu.data.transforms import device_preprocess
+from viscoin_tpu.models.bundle import VisCoINModels
+from viscoin_tpu.train import losses as L
+from viscoin_tpu.utils.dataclasses import IgnoreNone
+
+
+@dataclass
+class VisCoINTrainingParams(IgnoreNone):
+    """Training parameters (reference: viscoin/training/viscoin.py:48-81;
+    defaults are the CUB paper settings)."""
+
+    iterations: int = 100_000
+    learning_rate: float = 1e-4
+    cd_fid_iteration: int = 100
+    batch_size: int = 8  # real images per step; the same count of GAN samples is added
+
+    alpha: float = 0.5  # output fidelity loss
+    beta: float = 3.0  # LPIPS loss
+    gamma: float = 0.1  # reconstruction classification loss
+    delta: float = 0.2  # sparsity loss
+
+    gradient_accumulation: int = 1
+
+
+class TrainState(struct.PyTreeNode):
+    """Device-resident training state."""
+
+    step: jax.Array
+    params: Any  # {"concept_extractor", "explainer", "mapping"}
+    opt_state: Any  # Psi+Theta optimizer
+    gan_opt_state: Any  # mapping optimizer
+
+
+def make_lr_schedule(base_lr: float, iterations: int) -> optax.Schedule:
+    """×0.8 every 1000 iterations after the first half
+    (reference: training/viscoin.py:152-156)."""
+    half = iterations // 2
+
+    def schedule(step):
+        decays = jnp.maximum(0, (step - half) // 1000)
+        return base_lr * jnp.power(0.8, decays.astype(jnp.float32))
+
+    return schedule
+
+
+def make_optimizers(cfg: VisCoINTrainingParams):
+    schedule = make_lr_schedule(cfg.learning_rate, cfg.iterations)
+    tx = optax.adam(schedule)
+    gan_tx = optax.adam(schedule)
+    if cfg.gradient_accumulation > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation)
+        gan_tx = optax.MultiSteps(gan_tx, cfg.gradient_accumulation)
+    return tx, gan_tx
+
+
+def create_train_state(models: VisCoINModels, cfg: VisCoINTrainingParams) -> TrainState:
+    params = {
+        "concept_extractor": models.concept_params,
+        "explainer": models.explainer_params,
+        "mapping": models.gan_vars["params"]["mapping"],
+    }
+    # Copy: the jitted step donates the state, which would otherwise free the
+    # bundle's arrays out from under later consumers.
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    tx, gan_tx = make_optimizers(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init({"concept_extractor": params["concept_extractor"],
+                           "explainer": params["explainer"]}),
+        gan_opt_state=gan_tx.init(params["mapping"]),
+    )
+
+
+def make_train_step(
+    models: VisCoINModels,
+    generator_gan,  # stylegan.Generator module (original, frozen)
+    generator_vars: Any,
+    lpips_module,
+    lpips_params: Any,
+    cfg: VisCoINTrainingParams,
+    preprocess: bool = True,
+):
+    """Build the jitted train step.
+
+    Frozen closures: classifier variables, synthesis params/noise, original
+    generator, LPIPS — they are captured as constants (XLA keeps them
+    device-resident; nothing is retransferred per step).
+
+    Returns step(state, images_u8 (B,H,W,3) uint8, labels (B,), rng)
+    -> (state, metrics dict)."""
+
+    classifier = models.classifier
+    psi = models.concept_extractor
+    theta = models.explainer
+    gan = models.gan
+    classifier_vars = models.classifier_vars
+    synthesis_params = models.gan_vars["params"]["synthesis"]
+    gan_noise = models.gan_vars.get("noise", {})
+    tx, gan_tx = make_optimizers(cfg)
+
+    def lpips_fn(a, b):
+        return lpips_module.apply({"params": lpips_params}, a, b)
+
+    def loss_fn(params, real, labels, step, rng):
+        k_fake, k_noise1, k_noise2 = jax.random.split(rng, 3)
+        B = real.shape[0]
+
+        # Synthetic samples through the frozen original GAN
+        # (reference: training/utils.py:26-39).
+        z = jax.random.normal(k_fake, (B, generator_gan.z_dim))
+        fake = generator_gan.apply(generator_vars, z, noise_mode="random",
+                                   rngs={"noise": k_noise1})
+        all_images = jnp.concatenate([real, fake], axis=0)
+
+        # f(x): frozen classifier (eval mode — running BN stats).
+        classes, hidden = classifier.apply(classifier_vars, all_images, train=False)
+
+        # Psi, Theta.
+        phi, phi_prime = psi.apply({"params": params["concept_extractor"]},
+                                   tuple(hidden[-3:]))
+        explainer_classes = theta.apply({"params": params["explainer"]}, phi,
+                                        train=True, rngs={"dropout": rng})
+
+        # Losses (reference: training/viscoin.py:181-209).
+        acc_loss = L.softmax_cross_entropy(classes[:B], labels)
+
+        gate = (step > cfg.cd_fid_iteration).astype(jnp.float32)
+        cr_loss = gate * cfg.delta * L.concept_regularization_loss(phi)
+        of_loss = gate * cfg.alpha * L.output_fidelity_loss(classes, explainer_classes)
+
+        ortho_loss = L.concept_orthogonality_loss(
+            params["concept_extractor"]["conv5"]["kernel"]
+        )
+
+        gan_variables = {
+            "params": {"mapping": params["mapping"], "synthesis": synthesis_params},
+            **({"noise": gan_noise} if gan_noise else {}),
+        }
+        rebuilt, ws = gan.apply(gan_variables, phi, phi_prime, return_latents=True,
+                                noise_mode="random", rngs={"noise": k_noise2})
+        rebuilt_classes, _ = classifier.apply(classifier_vars, rebuilt, train=False)
+
+        rec_loss = L.reconstruction_loss(
+            rebuilt, all_images, rebuilt_classes, classes, lpips_fn,
+            lambda_classes=cfg.gamma, lambda_lpips=cfg.beta,
+        )
+        gan_loss = L.gan_regularization_loss(ws, params["mapping"]["fixed_w_avg"])
+
+        total = acc_loss + cr_loss + of_loss + ortho_loss + rec_loss + gan_loss
+        metrics = {
+            "acc_loss": acc_loss,
+            "cr_loss": cr_loss,
+            "of_loss": of_loss,
+            "ortho_loss": ortho_loss,
+            "rec_loss": rec_loss,
+            "gan_loss": gan_loss,
+            "inter_loss": L.cross_cross_entropy_loss(rebuilt_classes, classes),
+            "total_loss": total,
+        }
+        return total, metrics
+
+    def train_step(state: TrainState, images_u8, labels, rng):
+        if preprocess:
+            k_flip, rng = jax.random.split(rng)
+            flips = jax.random.bernoulli(k_flip, 0.5, (images_u8.shape[0],))
+            real = device_preprocess(images_u8, flips)
+        else:
+            real = images_u8
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, real, labels, state.step, rng
+        )
+
+        psi_theta = {"concept_extractor": state.params["concept_extractor"],
+                     "explainer": state.params["explainer"]}
+        psi_theta_grads = {"concept_extractor": grads["concept_extractor"],
+                           "explainer": grads["explainer"]}
+        updates, opt_state = tx.update(psi_theta_grads, state.opt_state, psi_theta)
+        psi_theta = optax.apply_updates(psi_theta, updates)
+
+        gan_updates, gan_opt_state = gan_tx.update(
+            grads["mapping"], state.gan_opt_state, state.params["mapping"]
+        )
+        mapping = optax.apply_updates(state.params["mapping"], gan_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params={
+                "concept_extractor": psi_theta["concept_extractor"],
+                "explainer": psi_theta["explainer"],
+                "mapping": mapping,
+            },
+            opt_state=opt_state,
+            gan_opt_state=gan_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_jitted_train_step(models, generator_gan, generator_vars, lpips_module,
+                           lpips_params, cfg, mesh=None, preprocess: bool = True):
+    """Jit (and optionally shard over a data-parallel mesh) the train step.
+
+    With ``mesh``: the batch shards on the ``data`` axis, state replicates,
+    and GSPMD all-reduces the gradients over ICI."""
+    step = make_train_step(models, generator_gan, generator_vars, lpips_module,
+                           lpips_params, cfg, preprocess=preprocess)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, batch_sharded, batch_sharded, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
