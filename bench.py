@@ -1,0 +1,124 @@
+"""Benchmark: VisCoIN ensemble training step throughput on one chip.
+
+Measures the FULL reference workload (SURVEY.md §3.1 hot loop: synthetic GAN
+samples + f(x) + Psi + Theta + G(z) + f(x̂) + LPIPS + backward + both Adam
+updates) as a single jitted step at the flagship configuration (256² images,
+256 concepts, 200 classes, StyleGAN2-ADA 'auto' 256² channels).
+
+Prints ONE JSON line:
+  {"metric": "viscoin_train_images_per_sec", "value": N, "unit": "img/s",
+   "vs_baseline": N / BASELINE_IMG_PER_SEC}
+
+Baseline: the reference publishes no numbers (BASELINE.md). We anchor against
+an analytic estimate of the reference's A100 throughput: ~8 steps/s at its
+batch 16 (8 real + 8 GAN) ≈ 128 img/s — see BASELINE.md for the derivation.
+vs_baseline > 3 meets the BASELINE.json north-star (≥3× reference A100 rate).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_SEC = 128.0  # estimated reference A100 throughput (BASELINE.md)
+
+
+def build(batch: int, compute_dtype=jnp.float32):
+    from viscoin_tpu.models.bundle import default_models, init_models
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.train.viscoin import (
+        VisCoINTrainingParams,
+        create_train_state,
+        make_frozen,
+        make_jitted_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
+                            channel_base=16384)
+    models = init_models(models, key, image_size=256)
+
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=256,
+                          channel_base=16384, mapping_layers=2)
+    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)), noise_mode="const"
+    )
+    lpips = LPIPS()
+    lparams = jax.jit(lpips.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3))
+    )["params"]
+
+    cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch, cd_fid_iteration=-1)
+    step = make_jitted_train_step(models, generator, lpips, cfg)
+    frozen = make_frozen(models, gvars, lparams)
+    state = create_train_state(models, cfg)
+    return step, state, frozen
+
+
+def run(batch: int, iters: int = 20) -> dict:
+    step, state, frozen = build(batch)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 200, batch).astype(np.int32))
+
+    # NOTE: sync via host readback of a value that depends on the full step —
+    # block_until_ready alone does not flush remote-attached (relay) devices.
+    def sync(m):
+        return float(m["total_loss"])
+
+    # Warmup (compile) + 2 steps.
+    t0 = time.time()
+    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(0))
+    sync(metrics)
+    compile_s = time.time() - t0
+    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(1))
+    sync(metrics)
+
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(2 + i))
+    loss = sync(metrics)
+    dt = (time.time() - t0) / iters
+
+    return {
+        "batch": batch,
+        "steps_per_sec": 1.0 / dt,
+        "images_per_sec": batch / dt,  # real images/step, like the reference's batch accounting
+        "compile_s": compile_s,
+        "total_loss": loss,
+    }
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    result = None
+    for b in [batch, batch // 2, batch // 4, 8]:
+        if b < 1:
+            continue
+        try:
+            result = run(b)
+            break
+        except Exception as e:  # OOM fallback
+            print(f"# batch {b} failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+    if result is None:
+        print(json.dumps({"metric": "viscoin_train_images_per_sec", "value": 0.0,
+                          "unit": "img/s", "vs_baseline": 0.0}))
+        return
+    value = round(result["images_per_sec"], 2)
+    print(json.dumps({
+        "metric": "viscoin_train_images_per_sec",
+        "value": value,
+        "unit": "img/s",
+        "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 3),
+        "detail": {k: round(v, 4) if isinstance(v, float) else v
+                   for k, v in result.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

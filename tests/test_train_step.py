@@ -17,6 +17,7 @@ from viscoin_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from viscoin_tpu.train.viscoin import (
     VisCoINTrainingParams,
     create_train_state,
+    make_frozen,
     make_jitted_train_step,
     make_lr_schedule,
 )
@@ -65,16 +66,17 @@ def test_lr_schedule():
 
 def test_single_device_step(setup, rng):
     models, generator, gvars, lpips, lparams, cfg = setup
-    step = make_jitted_train_step(models, generator, gvars, lpips, lparams, cfg)
+    step = make_jitted_train_step(models, generator, lpips, cfg)
+    frozen = make_frozen(models, gvars, lparams)
     state = create_train_state(models, cfg)
 
     images = rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
     labels = rng.integers(0, N_CLASSES, 4).astype(np.int32)
 
     p0 = jax.tree_util.tree_map(np.copy, state.params)
-    state, metrics = step(state, jnp.asarray(images), jnp.asarray(labels),
+    state, metrics = step(state, frozen, jnp.asarray(images), jnp.asarray(labels),
                           jax.random.PRNGKey(3))
-    state, metrics = step(state, jnp.asarray(images), jnp.asarray(labels),
+    state, metrics = step(state, frozen, jnp.asarray(images), jnp.asarray(labels),
                           jax.random.PRNGKey(4))
 
     assert int(state.step) == 2
@@ -97,11 +99,12 @@ def test_gate_masks_losses(setup, rng):
     viscoin.py:183-188)."""
     models, generator, gvars, lpips, lparams, cfg = setup
     cfg2 = VisCoINTrainingParams(iterations=100, batch_size=4, cd_fid_iteration=10)
-    step = make_jitted_train_step(models, generator, gvars, lpips, lparams, cfg2)
+    step = make_jitted_train_step(models, generator, lpips, cfg2)
+    frozen = make_frozen(models, gvars, lparams)
     state = create_train_state(models, cfg2)
     images = rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
     labels = rng.integers(0, N_CLASSES, 4).astype(np.int32)
-    _, metrics = step(state, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(0))
+    _, metrics = step(state, frozen, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(0))
     assert float(metrics["cr_loss"]) == 0.0
     assert float(metrics["of_loss"]) == 0.0
 
@@ -112,8 +115,8 @@ def test_data_parallel_step_matches_mesh(setup, rng):
     mesh = make_mesh(8)
     assert mesh.devices.size == 8
 
-    step = make_jitted_train_step(models, generator, gvars, lpips, lparams, cfg,
-                                  mesh=mesh)
+    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh)
+    frozen = replicate(mesh, make_frozen(models, gvars, lparams))
     state = create_train_state(models, cfg)
     state = replicate(mesh, state)
 
@@ -121,7 +124,7 @@ def test_data_parallel_step_matches_mesh(setup, rng):
     labels = rng.integers(0, N_CLASSES, 16).astype(np.int32)
     im_sh, lb_sh = shard_batch(mesh, images, labels)
 
-    state, metrics = step(state, im_sh, lb_sh, jax.random.PRNGKey(5))
+    state, metrics = step(state, frozen, im_sh, lb_sh, jax.random.PRNGKey(5))
     assert int(state.step) == 1
     assert np.isfinite(float(metrics["total_loss"]))
 
@@ -130,18 +133,19 @@ def test_gradient_accumulation(setup, rng):
     models, generator, gvars, lpips, lparams, _ = setup
     cfg = VisCoINTrainingParams(iterations=100, batch_size=4,
                                 gradient_accumulation=2, cd_fid_iteration=-1)
-    step = make_jitted_train_step(models, generator, gvars, lpips, lparams, cfg)
+    step = make_jitted_train_step(models, generator, lpips, cfg)
+    frozen = make_frozen(models, gvars, lparams)
     state = create_train_state(models, cfg)
     images = rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
     labels = rng.integers(0, N_CLASSES, 4).astype(np.int32)
 
     p0 = jax.tree_util.tree_map(np.copy, state.params)
-    state, _ = step(state, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(0))
+    state, _ = step(state, frozen, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(0))
     # after 1 of 2 accumulation steps, params must be unchanged
     for a, b in zip(jax.tree_util.tree_leaves(p0),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    state, _ = step(state, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(1))
+    state, _ = step(state, frozen, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(1))
     moved = any(
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(p0),

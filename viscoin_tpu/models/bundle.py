@@ -94,15 +94,25 @@ def default_models(n_classes: int = 200, n_concepts: int = 256,
 
 def init_models(models: VisCoINModels, rng: jax.Array, image_size: int = 256,
                 batch: int = 1) -> VisCoINModels:
-    """Random-initialize every variable collection (tiny dummy batch)."""
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    x = jnp.zeros((batch, image_size, image_size, 3), jnp.float32)
-    models.classifier_vars = models.classifier.init(k1, x, train=False)
-    _, hidden = models.classifier.apply(models.classifier_vars, x, train=False)
-    models.concept_params = models.concept_extractor.init(k2, tuple(hidden[-3:]))["params"]
-    phi, phi_prime = models.concept_extractor.apply(
-        {"params": models.concept_params}, tuple(hidden[-3:])
-    )
-    models.explainer_params = models.explainer.init(k3, phi)["params"]
-    models.gan_vars = models.gan.init({"params": k4}, phi, phi_prime, noise_mode="const")
+    """Random-initialize every variable collection.
+
+    The whole init is ONE jitted program: eager per-op dispatch is expensive
+    on remote-attached TPUs, and a fused init also avoids materializing
+    intermediate activations on the host."""
+
+    def _init(rng):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        x = jnp.zeros((batch, image_size, image_size, 3), jnp.float32)
+        classifier_vars = models.classifier.init(k1, x, train=False)
+        _, hidden = models.classifier.apply(classifier_vars, x, train=False)
+        concept_params = models.concept_extractor.init(k2, tuple(hidden[-3:]))["params"]
+        phi, phi_prime = models.concept_extractor.apply(
+            {"params": concept_params}, tuple(hidden[-3:])
+        )
+        explainer_params = models.explainer.init(k3, phi)["params"]
+        gan_vars = models.gan.init({"params": k4}, phi, phi_prime, noise_mode="const")
+        return classifier_vars, concept_params, explainer_params, gan_vars
+
+    (models.classifier_vars, models.concept_params,
+     models.explainer_params, models.gan_vars) = jax.jit(_init)(rng)
     return models

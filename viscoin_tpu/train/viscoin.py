@@ -106,37 +106,48 @@ def create_train_state(models: VisCoINModels, cfg: VisCoINTrainingParams) -> Tra
     )
 
 
+def make_frozen(models: VisCoINModels, generator_vars: Any, lpips_params: Any) -> dict:
+    """Bundle every non-trained variable as ONE pytree passed into the jitted
+    step each call. Weights must be runtime arguments, not closures: closure
+    constants get serialized into the HLO payload (slow compiles, and remote
+    compilation services reject multi-hundred-MB programs)."""
+    return {
+        "classifier": models.classifier_vars,
+        "synthesis": models.gan_vars["params"]["synthesis"],
+        "gan_noise": models.gan_vars.get("noise", {}),
+        "generator": generator_vars,
+        "lpips": lpips_params,
+    }
+
+
 def make_train_step(
     models: VisCoINModels,
     generator_gan,  # stylegan.Generator module (original, frozen)
-    generator_vars: Any,
     lpips_module,
-    lpips_params: Any,
     cfg: VisCoINTrainingParams,
     preprocess: bool = True,
 ):
-    """Build the jitted train step.
+    """Build the train step.
 
-    Frozen closures: classifier variables, synthesis params/noise, original
-    generator, LPIPS — they are captured as constants (XLA keeps them
-    device-resident; nothing is retransferred per step).
-
-    Returns step(state, images_u8 (B,H,W,3) uint8, labels (B,), rng)
-    -> (state, metrics dict)."""
+    Returns step(state, frozen, images_u8 (B,H,W,3) uint8, labels (B,), rng)
+    -> (state, metrics dict), where ``frozen`` is the pytree from
+    :func:`make_frozen` (device-resident; passing it per call is free)."""
 
     classifier = models.classifier
     psi = models.concept_extractor
     theta = models.explainer
     gan = models.gan
-    classifier_vars = models.classifier_vars
-    synthesis_params = models.gan_vars["params"]["synthesis"]
-    gan_noise = models.gan_vars.get("noise", {})
     tx, gan_tx = make_optimizers(cfg)
 
-    def lpips_fn(a, b):
-        return lpips_module.apply({"params": lpips_params}, a, b)
+    def loss_fn(params, frozen, real, labels, step, rng):
+        classifier_vars = frozen["classifier"]
+        synthesis_params = frozen["synthesis"]
+        gan_noise = frozen["gan_noise"]
+        generator_vars = frozen["generator"]
 
-    def loss_fn(params, real, labels, step, rng):
+        def lpips_fn(a, b):
+            return lpips_module.apply({"params": frozen["lpips"]}, a, b)
+
         k_fake, k_noise1, k_noise2 = jax.random.split(rng, 3)
         B = real.shape[0]
 
@@ -194,7 +205,7 @@ def make_train_step(
         }
         return total, metrics
 
-    def train_step(state: TrainState, images_u8, labels, rng):
+    def train_step(state: TrainState, frozen, images_u8, labels, rng):
         if preprocess:
             k_flip, rng = jax.random.split(rng)
             flips = jax.random.bernoulli(k_flip, 0.5, (images_u8.shape[0],))
@@ -203,7 +214,7 @@ def make_train_step(
             real = images_u8
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, real, labels, state.step, rng
+            state.params, frozen, real, labels, state.step, rng
         )
 
         psi_theta = {"concept_extractor": state.params["concept_extractor"],
@@ -233,14 +244,15 @@ def make_train_step(
     return train_step
 
 
-def make_jitted_train_step(models, generator_gan, generator_vars, lpips_module,
-                           lpips_params, cfg, mesh=None, preprocess: bool = True):
+def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
+                           mesh=None, preprocess: bool = True):
     """Jit (and optionally shard over a data-parallel mesh) the train step.
 
-    With ``mesh``: the batch shards on the ``data`` axis, state replicates,
-    and GSPMD all-reduces the gradients over ICI."""
-    step = make_train_step(models, generator_gan, generator_vars, lpips_module,
-                           lpips_params, cfg, preprocess=preprocess)
+    Returns step(state, frozen, images_u8, labels, rng).
+    With ``mesh``: the batch shards on the ``data`` axis, state and frozen
+    weights replicate, and GSPMD all-reduces the gradients over ICI."""
+    step = make_train_step(models, generator_gan, lpips_module, cfg,
+                           preprocess=preprocess)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
@@ -250,7 +262,7 @@ def make_jitted_train_step(models, generator_gan, generator_vars, lpips_module,
     batch_sharded = NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
-        in_shardings=(replicated, batch_sharded, batch_sharded, replicated),
+        in_shardings=(replicated, replicated, batch_sharded, batch_sharded, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )
