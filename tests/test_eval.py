@@ -1,0 +1,152 @@
+"""Tests for the evaluation layer: test_viscoin, amplification, concept
+analytics, FID stats, classifier eval, cosine matching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viscoin_tpu.data.datasets import SyntheticDataset
+from viscoin_tpu.data.loader import DataLoader
+from viscoin_tpu.eval.classifiers import test_classifier as eval_classifier
+from viscoin_tpu.eval.concept2clip import TensorLoader
+from viscoin_tpu.eval.concept2clip import test_concept2clip as eval_concept2clip
+from viscoin_tpu.eval.concepts import test_concepts as eval_concepts
+from viscoin_tpu.eval.fid import FeatureStats, frechet_distance
+from viscoin_tpu.eval.viscoin import amplify_concepts, make_amplify_fns
+from viscoin_tpu.eval.viscoin import test_viscoin as eval_viscoin
+from viscoin_tpu.models.bundle import VisCoINModels, init_models
+from viscoin_tpu.models.concept_extractor import ConceptExtractor
+from viscoin_tpu.models.concept2clip import Concept2CLIP
+from viscoin_tpu.models.explainer import Explainer
+from viscoin_tpu.models.lpips import LPIPS
+from viscoin_tpu.models.resnet import Classifier
+from viscoin_tpu.models.stylegan import GeneratorAdapted
+from viscoin_tpu.utils.metrics import cosine_matching
+
+IMG, NC, NK = 32, 5, 8
+
+
+@pytest.fixture(scope="module")
+def models():
+    m = VisCoINModels(
+        classifier=Classifier(output_classes=NC, embedding_size=8,
+                              hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1)),
+        concept_extractor=ConceptExtractor(n_concepts=NK, latent_channels=8,
+                                           input_channels1=16, input_channels2=32,
+                                           input_channels3=64),
+        explainer=Explainer(n_concepts=NK, n_classes=NC),
+        gan=GeneratorAdapted(z_dim=NK, w_dim=32, img_resolution=IMG,
+                             channel_base=256, channel_max=16),
+    )
+    return init_models(m, jax.random.PRNGKey(0), image_size=IMG)
+
+
+@pytest.fixture(scope="module")
+def loader():
+    ds = SyntheticDataset(n=10, n_classes=NC, image_size=IMG, mode="test")
+    return DataLoader(ds, batch_size=4, shuffle=False, num_threads=0)
+
+
+def test_feature_stats_matches_numpy(rng):
+    x = rng.standard_normal((100, 16))
+    fs = FeatureStats()
+    fs.append(x[:30])
+    fs.append(x[30:])
+    mu, cov = fs.get_mean_cov()
+    np.testing.assert_allclose(mu, x.mean(0), rtol=1e-10)
+    np.testing.assert_allclose(cov, np.cov(x.T, bias=True), rtol=1e-8, atol=1e-10)
+
+
+def test_frechet_distance_identity(rng):
+    x = rng.standard_normal((200, 8))
+    fs = FeatureStats()
+    fs.append(x)
+    mu, cov = fs.get_mean_cov()
+    assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+    mu2 = mu + 1.0
+    d = frechet_distance(mu, cov, mu2, cov)
+    np.testing.assert_allclose(d, 8.0, rtol=1e-5)  # ||Δmu||² = 8
+
+
+def test_test_viscoin_runs(models, loader):
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)),
+                         jnp.zeros((1, IMG, IMG, 3)))["params"]
+    results = eval_viscoin(models, lpips, lparams, loader)
+    for f in ["acc_loss", "cr_loss", "of_loss", "lp_loss", "rec_loss_l1",
+              "rec_loss_l2", "preds_overlap", "correct_preds", "correct_expl_preds"]:
+        assert np.isfinite(getattr(results, f)), f
+    assert results.fid_score is None
+
+
+def test_test_viscoin_fid(models, loader):
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)),
+                         jnp.zeros((1, IMG, IMG, 3)))["params"]
+
+    def fake_detector(x):  # stand-in feature extractor
+        return np.asarray(x).reshape(x.shape[0], -1)[:, :16]
+
+    results = eval_viscoin(models, lpips, lparams, loader, compute_fid=True,
+                           fid_detector=fake_detector)
+    assert results.fid_score is not None and np.isfinite(results.fid_score)
+
+
+def test_amplify_concepts(models, rng):
+    img = rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+    from viscoin_tpu.data.transforms import device_preprocess
+
+    x = np.asarray(device_preprocess(jnp.asarray(img[None])))[0]
+    fns = make_amplify_fns(models)
+    res = amplify_concepts(
+        x, models, {"method": "threshold", "threshold": 0.2},
+        [0.0, 1.0, 2.0, 4.0], rng=rng, fns=fns,
+    )
+    assert len(res.amplified_images) == 4
+    assert len(res.best_concept_probas_best) == 4
+    assert len(res.best_concept_probas_rand) == 4
+    assert res.amplified_images[0].shape == (IMG, IMG, 3)
+    assert res.default_probas.shape == (NC,)
+    for p in res.best_concept_probas_best + res.best_concept_probas_rand:
+        assert 0.0 <= p <= 1.0
+
+    res2 = amplify_concepts(x, models, {"method": "top_k", "k": 2}, [1.0], rng=rng, fns=fns)
+    assert len(res2.amplified_images) == 1
+    # multiplier 1.0 with any selection = unmodified reconstruction
+    np.testing.assert_allclose(res2.amplified_images[0],
+                               res.amplified_images[1], rtol=1e-4, atol=1e-5)
+
+
+def test_test_concepts(models, loader):
+    results = eval_concepts(models, loader, n_classes=NC)
+    K = NK
+    assert results.concept_correlations.shape == (K, K)
+    assert results.class_concept_correlations.shape == (NC, K)
+    assert results.concept_class_correlations.shape == (K, NC)
+    assert results.concept_entropy.shape == (K,)
+    assert 0 <= results.classifier_accuracy <= 1
+    assert results.class_counts.sum() == 10
+
+
+def test_eval_classifier(models, loader):
+    acc, loss = eval_classifier(models.classifier, models.classifier_vars, loader)
+    assert 0 <= acc <= 1 and np.isfinite(loss)
+
+
+def test_cosine_matching_perfect_and_value_ties(rng):
+    x = rng.standard_normal((6, 4)).astype(np.float32)
+    assert cosine_matching(jnp.asarray(x), jnp.asarray(x)) == 1.0
+    y = np.roll(x, 1, axis=0)
+    assert cosine_matching(jnp.asarray(x), jnp.asarray(y)) < 1.0
+
+
+def test_test_concept2clip(rng):
+    model = Concept2CLIP(n_concepts=NK, clip_dim=12)
+    phi = rng.standard_normal((20, 3, 3, NK)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(phi[:1]))["params"]
+    emb = rng.standard_normal((20, 12)).astype(np.float32)
+    loader = TensorLoader(phi, emb, batch_size=5)
+    loss, match = eval_concept2clip(model, params, loader)
+    assert np.isfinite(loss) and 0 <= match <= 1
