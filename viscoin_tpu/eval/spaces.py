@@ -1,0 +1,82 @@
+"""Whole-dataset latent-space precomputation with disk caches.
+
+Reference: viscoin/models/utils.py:27-174 (compute_w_space /
+compute_concept_space, cached under checkpoints/gan-w and
+checkpoints/concepts). Caches here are .npz; forward passes are jitted and
+batched (the reference uses batch 4, unjitted)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viscoin_tpu.data.transforms import device_preprocess
+from viscoin_tpu.models.bundle import VisCoINModels
+
+
+def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str) -> np.ndarray:
+    variables = {
+        "classifier": models.classifier_vars,
+        "psi": models.concept_params,
+        "gan": models.gan_vars,
+    }
+
+    @jax.jit
+    def fwd(variables, images_u8):
+        x = device_preprocess(images_u8)
+        _, hidden = models.classifier.apply(variables["classifier"], x, train=False)
+        phi, phi_prime = models.concept_extractor.apply(
+            {"params": variables["psi"]}, tuple(hidden[-3:])
+        )
+        if what == "concepts":
+            return phi
+        _, ws = models.gan.apply(variables["gan"], phi, phi_prime,
+                                 return_latents=True, noise_mode="const")
+        return ws
+
+    out = []
+    n = len(dataset)
+    for s in range(0, n, batch_size):
+        idx = list(range(s, min(s + batch_size, n)))
+        images = np.stack([dataset[i][0] for i in idx])
+        if images.shape[0] < batch_size:  # pad for shape stability
+            pad = batch_size - images.shape[0]
+            images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
+        res = np.asarray(fwd(variables, jnp.asarray(images)))[: len(idx)]
+        out.append(res)
+    return np.concatenate(out, axis=0)
+
+
+def compute_concept_space(models: VisCoINModels, dataset_name: str,
+                          train_ds, test_ds, batch_size: int = 32,
+                          cache_dir: str = "checkpoints/concepts"):
+    """Phi over both splits, cached (reference: models/utils.py:108-174).
+    Returns NHWC (N, 3, 3, K) arrays."""
+    cache = os.path.join(cache_dir, f"{dataset_name}.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        return data["train"], data["test"]
+    train = _run_over(models, train_ds, batch_size, "concepts")
+    test = _run_over(models, test_ds, batch_size, "concepts")
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(cache, train=train, test=test)
+    return train, test
+
+
+def compute_w_space(models: VisCoINModels, dataset_name: str,
+                    train_ds, test_ds, batch_size: int = 32,
+                    cache_dir: str = "checkpoints/gan-w"):
+    """W+ over both splits, cached (reference: models/utils.py:27-106).
+    Returns (N, num_ws, w_dim) arrays."""
+    cache = os.path.join(cache_dir, f"{dataset_name}.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        return data["train"], data["test"]
+    train = _run_over(models, train_ds, batch_size, "w")
+    test = _run_over(models, test_ds, batch_size, "w")
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(cache, train=train, test=test)
+    return train, test

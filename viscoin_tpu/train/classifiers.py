@@ -1,0 +1,129 @@
+"""Classifier training (reference: viscoin/training/classifiers.py).
+
+Adam + StepLR(30, 0.1), per-epoch test, best-accuracy model kept; jsonl
+logging with the reference's key schema. The train step is one jitted
+function including device-side preprocessing and BatchNorm running-stat
+updates.
+
+NOTE: the reference logs the *test* accuracy under ``train_accuracy`` (its
+train accuracy is overwritten at classifiers.py:100); we log the actual
+train-epoch accuracy — same keys, corrected semantics.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from viscoin_tpu.data.transforms import device_preprocess
+from viscoin_tpu.eval.classifiers import test_classifier
+from viscoin_tpu.utils.dataclasses import IgnoreNone
+from viscoin_tpu.utils.logging import get_logger
+
+
+@dataclass
+class ClassifierTrainingParams(IgnoreNone):
+    epochs: int = 90
+    learning_rate: float = 0.001
+    batch_size: int = 32
+
+
+class ClassifierState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_classifier_train_step(classifier, tx):
+    def step(state: ClassifierState, images_u8, labels, rng):
+        flips = jax.random.bernoulli(rng, 0.5, (images_u8.shape[0],))
+        x = device_preprocess(images_u8, flips)
+
+        def loss_fn(params):
+            (logits, _), updates = classifier.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+            correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+            return loss, (updates["batch_stats"], correct)
+
+        (loss, (batch_stats, correct)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=batch_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, correct
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def train_classifier(classifier, variables, train_loader, test_loader,
+                     params: ClassifierTrainingParams, seed: int = 0):
+    """Train and return the variables of the best-test-accuracy model
+    (reference: training/classifiers.py:32-120)."""
+    logger = get_logger()
+    # StepLR(step_size=30, gamma=0.1) on epochs → piecewise-constant on steps.
+    steps_per_epoch = max(1, len(train_loader))
+    schedule = optax.piecewise_constant_schedule(
+        params.learning_rate,
+        {30 * steps_per_epoch: 0.1, 60 * steps_per_epoch: 0.1},
+    )
+    tx = optax.adam(schedule)
+    state = ClassifierState(
+        params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                      variables["params"]),
+        batch_stats=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                           variables["batch_stats"]),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_fn = make_classifier_train_step(classifier, tx)
+    rng = jax.random.PRNGKey(seed)
+
+    best_accuracy = 0.0
+    best = {"params": state.params, "batch_stats": state.batch_stats}
+
+    for epoch in range(params.epochs):
+        total_correct, total_loss, total_samples, n_batches = 0, 0.0, 0, 0
+        for images, labels in train_loader:
+            if images.shape[0] != params.batch_size:
+                continue  # drop ragged last batch (shape stability)
+            rng, k = jax.random.split(rng)
+            state, loss, correct = step_fn(state, jnp.asarray(images),
+                                           jnp.asarray(labels.astype(np.int32)), k)
+            total_correct += int(correct)
+            total_loss += float(loss)
+            total_samples += images.shape[0]
+            n_batches += 1
+
+        train_accuracy = total_correct / max(total_samples, 1)
+        batch_mean_loss = total_loss / max(n_batches, 1)
+
+        test_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        accuracy, mean_loss = test_classifier(classifier, test_vars, test_loader,
+                                              verbose=False)
+        if accuracy > best_accuracy:
+            best_accuracy = accuracy
+            best = jax.tree_util.tree_map(np.asarray, test_vars)
+
+        logger.info(json.dumps({
+            "train_loss": batch_mean_loss,
+            "train_accuracy": train_accuracy,
+            "test_loss": mean_loss,
+            "test_accuracy": accuracy,
+        }))
+
+    print(f"Best test accuracy: {best_accuracy:.4f}")
+    return best, best_accuracy

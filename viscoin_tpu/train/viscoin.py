@@ -27,6 +27,7 @@ import functools
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -242,6 +243,122 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def train_viscoin(
+    models: VisCoINModels,
+    generator_gan,
+    generator_vars,
+    lpips_module,
+    lpips_params,
+    train_loader,
+    test_loader,
+    cfg: VisCoINTrainingParams,
+    mesh=None,
+    seed: int = 0,
+    checkpoint_dir: str = ".",
+    eval_every: int = 2000,
+    checkpoint_every: int = 20_000,
+    faithfulness_every: int = 25_000,
+    fid_detector=None,
+    resume_from: str | None = None,
+) -> VisCoINModels:
+    """The outer training loop (reference: training/viscoin.py:84-295):
+    jitted step + every-2000-it full test eval, every-20k checkpoints, and the
+    every-25k 200-image amplification faithfulness probe. Adds deterministic
+    resume (``resume_from``), which the reference lacks (SURVEY.md §5)."""
+    import json
+    import os
+
+    from viscoin_tpu.data.loader import loop_iter
+    from viscoin_tpu.eval.viscoin import amplify_concepts, make_amplify_fns, test_viscoin
+    from viscoin_tpu.utils import checkpoints as ckpt
+    from viscoin_tpu.utils.logging import get_logger
+
+    logger = get_logger()
+    step_fn = make_jitted_train_step(models, generator_gan, lpips_module, cfg, mesh=mesh)
+    frozen = make_frozen(models, generator_vars, lpips_params)
+    state = create_train_state(models, cfg)
+    if mesh is not None:
+        from viscoin_tpu.parallel.mesh import replicate
+
+        frozen = replicate(mesh, frozen)
+        state = replicate(mesh, state)
+    if resume_from:
+        state = ckpt.restore_train_state(state, resume_from)
+
+    rng = jax.random.PRNGKey(seed)
+    train_iter = loop_iter(train_loader)
+    amplify_fns = None
+    probe_rng = np.random.default_rng(seed)
+
+    def sync_models():
+        """Copy current trainable params back into the bundle (for eval/ckpt)."""
+        models.concept_params = state.params["concept_extractor"]
+        models.explainer_params = state.params["explainer"]
+        gan_vars = dict(models.gan_vars)
+        gan_vars["params"] = dict(gan_vars["params"])
+        gan_vars["params"]["mapping"] = state.params["mapping"]
+        models.gan_vars = gan_vars
+        return models
+
+    start = int(jax.device_get(state.step))
+    for i in range(start, cfg.iterations):
+        images, labels = next(train_iter)
+        rng, k = jax.random.split(rng)
+        if mesh is not None:
+            from viscoin_tpu.parallel.mesh import shard_batch
+
+            images, labels = shard_batch(mesh, images, labels.astype("int32"))
+        else:
+            images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
+        state, metrics = step_fn(state, frozen, images, labels, k)
+
+        if i % eval_every == 0:
+            sync_models()
+            train_data = {
+                f"train_{k_}": float(metrics[k_])
+                for k_ in ["acc_loss", "cr_loss", "of_loss", "ortho_loss",
+                           "rec_loss", "gan_loss", "inter_loss"]
+            }
+            test_results = test_viscoin(models, lpips_module, lpips_params,
+                                        test_loader, compute_fid=fid_detector is not None,
+                                        fid_detector=fid_detector, verbose=False)
+            train_data.update({f"test_{k_}": v for k_, v in
+                               test_results.__dict__.items()})
+            logger.info(json.dumps(train_data))
+
+        if i % checkpoint_every == 0:
+            sync_models()
+            ckpt.save_viscoin(models, os.path.join(
+                checkpoint_dir,
+                f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
+            ))
+            ckpt.save_train_state(state, os.path.join(checkpoint_dir, "train_state"))
+
+        if faithfulness_every and i % faithfulness_every == 0 and i > 0:
+            # 200-image amplification faithfulness probe (viscoin.py:273-295).
+            sync_models()
+            if amplify_fns is None:
+                amplify_fns = make_amplify_fns(models)
+            ds = test_loader.dataset
+            probs = []
+            from viscoin_tpu.data.transforms import device_preprocess as _prep
+
+            for idx in probe_rng.choice(len(ds), min(200, len(ds)), replace=False):
+                img_u8 = ds[int(idx)][0]
+                x = _prep(jnp.asarray(img_u8[None]))[0]
+                res = amplify_concepts(
+                    x, models, {"method": "threshold", "threshold": 0.2},
+                    [0.0, 1.0, 2.0, 4.0], rng=probe_rng, fns=amplify_fns,
+                )
+                probs.append(res.best_concept_probas_best[1])
+
+            print(f"Faithfullness stats (probability of best concept after "
+                  f"reconstruction): mean = {np.mean(probs)} --- std = {np.std(probs)}")
+
+    sync_models()
+    return models
 
 
 def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
