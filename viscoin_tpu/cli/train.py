@@ -1,0 +1,195 @@
+"""`train` command (reference: viscoin/cli/train.py) — dispatches on
+model_name ∈ {classifier, concept2clip, viscoin}."""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import click
+import jax
+
+from viscoin_tpu.cli.utils import (
+    batch_size,
+    checkpoints,
+    dataset,
+    device,
+    epochs,
+    learning_rate,
+    output_weights,
+)
+from viscoin_tpu.data.utils import (
+    DATASET_CLASSES,
+    DEFAULT_CHECKPOINTS,
+    DatasetType,
+    get_dataloaders,
+)
+from viscoin_tpu.utils.logging import configure_score_logging
+
+
+@click.command()
+@click.argument("model_name")
+@batch_size
+@device
+@dataset
+@epochs
+@learning_rate
+@output_weights
+@checkpoints
+@click.option("--gradient-accumulation-steps", type=int, default=1,
+              help="The amount of steps to accumulate gradients before stepping "
+                   "the optimizers")
+@click.option("--latent-type", type=click.Choice(["viscoin", "gan"]),
+              default="viscoin", help="The latent space to train concept2clip on")
+@click.option("--data-parallel/--no-data-parallel", default=True,
+              help="Shard the batch over all local devices (new capability; "
+                   "the reference is single-device)")
+def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
+          epochs, latent_type, output_weights, gradient_accumulation_steps,
+          data_parallel):
+    """Train a model on a dataset. Metrics are logged to a jsonl file."""
+    match model_name:
+        case "classifier":
+            _train_classifier(dataset, checkpoints, batch_size, learning_rate,
+                              epochs, output_weights)
+        case "concept2clip":
+            _train_concept2clip(latent_type, dataset, epochs, learning_rate,
+                                batch_size, output_weights)
+        case "viscoin":
+            _train_viscoin(dataset, learning_rate, epochs, batch_size,
+                           gradient_accumulation_steps, data_parallel)
+        case _:
+            raise ValueError(f"Unknown model name: {model_name}")
+
+
+def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
+                      learning_rate, epochs, output_weights):
+    from viscoin_tpu.models.resnet import Classifier
+    from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    params = ClassifierTrainingParams(epochs, learning_rate, batch_size)
+    configure_score_logging(f"classifier_{params.epochs}.jsonl")
+    train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
+
+    model = Classifier(output_classes=DATASET_CLASSES[dataset])
+    if checkpoints is not None:
+        variables = ckpt.restore_pytree(checkpoints)
+    else:
+        click.echo("NOTE: no --checkpoints given — random init (no network "
+                   "downloads; port pretrained torch weights with "
+                   "viscoin_tpu.utils.porting.convert_torch_classifier).")
+        import jax.numpy as jnp
+
+        size = train_loader.dataset.out_size
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+        )
+
+    best, _ = train_classifier(model, variables, train_loader, test_loader, params)
+    ckpt.save_pytree(best, output_weights)
+
+
+def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
+                        learning_rate, batch_size, output_weights):
+    import numpy as np
+
+    from viscoin_tpu.data.utils import get_datasets
+    from viscoin_tpu.eval.spaces import compute_concept_space, compute_w_space
+    from viscoin_tpu.models.clip import CLIP, compute_image_embeddings
+    from viscoin_tpu.models.concept2clip import Concept2CLIP, Concept2CLIPStyleGAN
+    from viscoin_tpu.train.concept2clip import (
+        Concept2ClipTrainingParams,
+        train_concept2clip,
+    )
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    viscoin = ckpt.load_viscoin_bundle(DEFAULT_CHECKPOINTS[dataset]["viscoin"])
+    params = Concept2ClipTrainingParams(epochs=epochs, learning_rate=learning_rate,
+                                        batch_size=batch_size)
+    configure_score_logging(f"concept2clip_{params.epochs}.jsonl")
+
+    train_ds, test_ds = get_datasets(dataset, "test")
+    if latent_type == "viscoin":
+        train_spaces, test_spaces = compute_concept_space(viscoin, dataset,
+                                                          train_ds, test_ds)
+        model = Concept2CLIP(n_concepts=viscoin.concept_extractor.n_concepts)
+    else:
+        train_spaces, test_spaces = compute_w_space(viscoin, dataset, train_ds, test_ds)
+        model = Concept2CLIPStyleGAN(n_style_layers=viscoin.gan.num_ws,
+                                     layer_dim=viscoin.gan.w_dim)
+
+    clip = CLIP()
+    train_emb, test_emb = compute_image_embeddings(clip, dataset, train_ds, test_ds)
+
+    import jax.numpy as jnp
+
+    init_params = model.init(jax.random.PRNGKey(0),
+                             jnp.asarray(train_spaces[:1]))["params"]
+    best, _ = train_concept2clip(model, init_params,
+                                 np.asarray(train_spaces), np.asarray(train_emb),
+                                 np.asarray(test_spaces), np.asarray(test_emb), params)
+    ckpt.save_pytree(best, output_weights)
+
+
+def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
+                   gradient_accumulation_steps, data_parallel):
+    from viscoin_tpu.models.bundle import default_models, init_models
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
+    from viscoin_tpu.parallel.mesh import make_mesh
+    from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    import jax.numpy as jnp
+
+    n_classes = DATASET_CLASSES[dataset]
+    params = VisCoINTrainingParams(
+        learning_rate=learning_rate, iterations=epochs, batch_size=batch_size,
+        gradient_accumulation=gradient_accumulation_steps,
+    )
+    configure_score_logging(f"viscoin_{params.iterations}.jsonl")
+    train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
+    size = train_loader.dataset.out_size
+
+    models = default_models(n_classes=n_classes, img_resolution=size,
+                            channel_base=16384)
+    models = init_models(models, jax.random.PRNGKey(0), image_size=size)
+
+    # Frozen pretrained pieces: classifier + original GAN (reference loads
+    # torch pickles from DEFAULT_CHECKPOINTS; here orbax checkpoints).
+    cls_path = DEFAULT_CHECKPOINTS[dataset]["classifier"]
+    gan_path = DEFAULT_CHECKPOINTS[dataset]["gan"]
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
+                          channel_base=16384, mapping_layers=2)
+    import os
+
+    if os.path.exists(cls_path):
+        models.classifier_vars = ckpt.restore_pytree(cls_path)
+    else:
+        click.echo(f"WARNING: classifier checkpoint {cls_path} not found — "
+                   "training against a RANDOM classifier.")
+    if os.path.exists(gan_path):
+        gvars = ckpt.restore_pytree(gan_path)
+        models.gan_vars = adapted_params_from_gan(models.gan_vars, gvars)
+    else:
+        click.echo(f"WARNING: GAN checkpoint {gan_path} not found — "
+                   "using a RANDOM generator.")
+        gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)), noise_mode="const"
+        )
+
+    lpips = LPIPS()
+    lpips_path = "checkpoints/lpips-vgg"
+    if os.path.exists(lpips_path):
+        lparams = ckpt.restore_pytree(lpips_path)
+    else:
+        click.echo("WARNING: no LPIPS weights at checkpoints/lpips-vgg — "
+                   "random-VGG perceptual loss (port with convert_torch_lpips).")
+        lparams = jax.jit(lpips.init)(
+            jax.random.PRNGKey(2), jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, size, size, 3)),
+        )["params"]
+
+    mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
+    train_viscoin(models, generator, gvars, lpips, lparams,
+                  train_loader, test_loader, params, mesh=mesh)

@@ -1,0 +1,63 @@
+"""CLI flag decorators (reference: viscoin/cli/utils.py — same flag surface).
+
+``--device`` is kept for CLI compatibility; it selects the JAX platform
+("tpu"/"cpu"; the reference's "cuda" maps to the default accelerator).
+"""
+
+from __future__ import annotations
+
+import click
+
+from viscoin_tpu.data.utils import DEFAULT_VISCOIN
+
+
+def batch_size(func):
+    return click.option("--batch-size", required=False,
+                        help="The batch size to use for training/testing",
+                        type=int)(func)
+
+
+def epochs(func):
+    return click.option("--epochs", required=False,
+                        help="The amount of epochs to train the model for",
+                        type=int)(func)
+
+
+def learning_rate(func):
+    return click.option("--learning-rate", required=False,
+                        help="The optimizer learning rate", type=float)(func)
+
+
+def device(func):
+    return click.option("--device", default="tpu",
+                        help="The device to use for training/testing "
+                             "(jax platform; 'cuda' aliases the default accelerator)",
+                        type=str)(func)
+
+
+def checkpoints(func):
+    return click.option("--checkpoints", help="The path to load the checkpoints",
+                        type=str)(func)
+
+
+def output_weights(func):
+    return click.option("--output-weights",
+                        help="The path/filename where to save the weights",
+                        type=str, default="output-weights")(func)
+
+
+def viscoin_pickle_path(func):
+    return click.option("--viscoin-pickle-path",
+                        help="The path to the viscoin checkpoint bundle",
+                        default=DEFAULT_VISCOIN, required=False, type=str)(func)
+
+
+def concept2clip_pickle_path(func):
+    return click.option("--clip-adapter-path",
+                        help="The path to the concept2clip checkpoint",
+                        required=False, type=str)(func)
+
+
+def dataset(func):
+    return click.option("--dataset", help="The dataset to use", default="cub",
+                        type=click.Choice(["cub", "funnybirds", "synthetic"]))(func)

@@ -183,6 +183,104 @@ def convert_torch_lpips(sd: dict[str, np.ndarray]) -> dict:
     return params
 
 
+# ---------------------------------- CLIP ----------------------------------- #
+
+
+def _clip_block_openai(sd: dict, p: str) -> dict:
+    return {
+        "ln_1": {"scale": sd[f"{p}.ln_1.weight"], "bias": sd[f"{p}.ln_1.bias"]},
+        "ln_2": {"scale": sd[f"{p}.ln_2.weight"], "bias": sd[f"{p}.ln_2.bias"]},
+        "attn": {
+            "in_proj": {"kernel": np.transpose(sd[f"{p}.attn.in_proj_weight"]),
+                        "bias": sd[f"{p}.attn.in_proj_bias"]},
+            "out_proj": _dense(sd, f"{p}.attn.out_proj"),
+        },
+        "mlp_fc": _dense(sd, f"{p}.mlp.c_fc"),
+        "mlp_proj": _dense(sd, f"{p}.mlp.c_proj"),
+    }
+
+
+def convert_torch_clip(sd: dict[str, np.ndarray], vision_layers: int = 12,
+                       text_layers: int = 12) -> dict:
+    """Convert an OpenAI pip-`clip` ViT-B/32 state_dict into params for
+    :class:`viscoin_tpu.models.clip.CLIP`."""
+    visual: dict = {
+        "patch_embed": {"kernel": _conv(sd["visual.conv1.weight"])},
+        "class_embedding": sd["visual.class_embedding"],
+        "positional_embedding": sd["visual.positional_embedding"],
+        "ln_pre": {"scale": sd["visual.ln_pre.weight"], "bias": sd["visual.ln_pre.bias"]},
+        "ln_post": {"scale": sd["visual.ln_post.weight"], "bias": sd["visual.ln_post.bias"]},
+        "proj": sd["visual.proj"],
+    }
+    for i in range(vision_layers):
+        visual[f"block{i}"] = _clip_block_openai(sd, f"visual.transformer.resblocks.{i}")
+
+    text: dict = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": {"scale": sd["ln_final.weight"], "bias": sd["ln_final.bias"]},
+        "text_projection": sd["text_projection"],
+    }
+    for i in range(text_layers):
+        text[f"block{i}"] = _clip_block_openai(sd, f"transformer.resblocks.{i}")
+
+    return {"visual": visual, "text": text}
+
+
+def convert_hf_clip(sd: dict[str, np.ndarray], vision_layers: int = 12,
+                    text_layers: int = 12) -> dict:
+    """Convert a HuggingFace `transformers.CLIPModel` state_dict (ViT-B/32
+    config) into params for :class:`viscoin_tpu.models.clip.CLIP`.
+
+    HF splits q/k/v projections; our module uses the fused in_proj, so they
+    are concatenated. HF's visual_projection/text_projection Linear weights
+    (out, in) become our (in, out) matrices."""
+
+    def block(p: str) -> dict:
+        qw = sd[f"{p}.self_attn.q_proj.weight"]
+        kw = sd[f"{p}.self_attn.k_proj.weight"]
+        vw = sd[f"{p}.self_attn.v_proj.weight"]
+        qb = sd[f"{p}.self_attn.q_proj.bias"]
+        kb = sd[f"{p}.self_attn.k_proj.bias"]
+        vb = sd[f"{p}.self_attn.v_proj.bias"]
+        return {
+            "ln_1": {"scale": sd[f"{p}.layer_norm1.weight"], "bias": sd[f"{p}.layer_norm1.bias"]},
+            "ln_2": {"scale": sd[f"{p}.layer_norm2.weight"], "bias": sd[f"{p}.layer_norm2.bias"]},
+            "attn": {
+                "in_proj": {"kernel": np.transpose(np.concatenate([qw, kw, vw], axis=0)),
+                            "bias": np.concatenate([qb, kb, vb])},
+                "out_proj": _dense(sd, f"{p}.self_attn.out_proj"),
+            },
+            "mlp_fc": _dense(sd, f"{p}.mlp.fc1"),
+            "mlp_proj": _dense(sd, f"{p}.mlp.fc2"),
+        }
+
+    v = "vision_model"
+    visual: dict = {
+        "patch_embed": {"kernel": _conv(sd[f"{v}.embeddings.patch_embedding.weight"])},
+        "class_embedding": sd[f"{v}.embeddings.class_embedding"],
+        "positional_embedding": sd[f"{v}.embeddings.position_embedding.weight"],
+        "ln_pre": {"scale": sd[f"{v}.pre_layrnorm.weight"], "bias": sd[f"{v}.pre_layrnorm.bias"]},
+        "ln_post": {"scale": sd[f"{v}.post_layernorm.weight"], "bias": sd[f"{v}.post_layernorm.bias"]},
+        "proj": np.transpose(sd["visual_projection.weight"]),
+    }
+    for i in range(vision_layers):
+        visual[f"block{i}"] = block(f"{v}.encoder.layers.{i}")
+
+    t = "text_model"
+    text: dict = {
+        "token_embedding": sd[f"{t}.embeddings.token_embedding.weight"],
+        "positional_embedding": sd[f"{t}.embeddings.position_embedding.weight"],
+        "ln_final": {"scale": sd[f"{t}.final_layer_norm.weight"],
+                     "bias": sd[f"{t}.final_layer_norm.bias"]},
+        "text_projection": np.transpose(sd["text_projection.weight"]),
+    }
+    for i in range(text_layers):
+        text[f"block{i}"] = block(f"{t}.encoder.layers.{i}")
+
+    return {"visual": visual, "text": text}
+
+
 # ------------------------------- StyleGAN2 --------------------------------- #
 
 
