@@ -16,17 +16,26 @@ vs_baseline > 3 meets the BASELINE.json north-star (≥3× reference A100 rate).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
+
+# Persistent compilation cache: the step compile is expensive through a
+# remote-attached compiler; cache it across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/jax_comp_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 128.0  # estimated reference A100 throughput (BASELINE.md)
 
 
-def build(batch: int, compute_dtype=jnp.float32):
+def build(batch: int, compute_dtype: str = "bfloat16"):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator
@@ -52,15 +61,16 @@ def build(batch: int, compute_dtype=jnp.float32):
         jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3))
     )["params"]
 
-    cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch, cd_fid_iteration=-1)
+    cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
+                                cd_fid_iteration=-1, compute_dtype=compute_dtype)
     step = make_jitted_train_step(models, generator, lpips, cfg)
     frozen = make_frozen(models, gvars, lparams)
     state = create_train_state(models, cfg)
     return step, state, frozen
 
 
-def run(batch: int, iters: int = 20) -> dict:
-    step, state, frozen = build(batch)
+def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
+    step, state, frozen = build(batch, compute_dtype)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 200, batch).astype(np.int32))

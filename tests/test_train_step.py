@@ -129,6 +129,31 @@ def test_data_parallel_step_matches_mesh(setup, rng):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_bf16_compute_dtype(setup, rng):
+    """The bf16 mixed-precision step must run, keep fp32 master params, and
+    produce a loss close to the fp32 one."""
+    models, generator, gvars, lpips, lparams, _ = setup
+    images = rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
+    labels = rng.integers(0, N_CLASSES, 4).astype(np.int32)
+
+    losses = {}
+    for dtype in ["float32", "bfloat16"]:
+        cfg = VisCoINTrainingParams(iterations=100, batch_size=4,
+                                    cd_fid_iteration=-1, compute_dtype=dtype)
+        step = make_jitted_train_step(models, generator, lpips, cfg)
+        frozen = make_frozen(models, gvars, lparams)
+        state = create_train_state(models, cfg)
+        state, metrics = step(state, frozen, jnp.asarray(images),
+                              jnp.asarray(labels), jax.random.PRNGKey(0))
+        losses[dtype] = float(metrics["total_loss"])
+        # master params stay fp32
+        assert all(x.dtype == jnp.float32
+                   for x in jax.tree_util.tree_leaves(state.params)
+                   if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating))
+    assert np.isfinite(losses["bfloat16"])
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.15)
+
+
 def test_gradient_accumulation(setup, rng):
     models, generator, gvars, lpips, lparams, _ = setup
     cfg = VisCoINTrainingParams(iterations=100, batch_size=4,

@@ -1,0 +1,37 @@
+"""`logs` command (reference: viscoin/cli/logs.py): parse jsonl training logs
+and plot the loss/metric curves. The schema is byte-compatible with the
+reference, so logs from either implementation plot identically."""
+
+from __future__ import annotations
+
+import json
+
+import click
+
+from viscoin_tpu.utils.types import TestingResults, TrainingResults
+
+
+@click.command()
+@click.option("--logs-path", help="The path to the logs file", required=True, type=str)
+def logs(logs_path: str):
+    """Parse a viscoin training jsonl log file and plot the losses and metrics."""
+    training_results: list[TrainingResults] = []
+    testing_results: list[TestingResults] = []
+
+    with open(logs_path) as f:
+        for line in f:
+            data = json.loads(line)
+            train_kwargs, test_kwargs = {}, {}
+            for key, value in data.items():
+                if key.startswith("train_"):
+                    train_kwargs[key[6:]] = value
+                elif key.startswith("test_"):
+                    test_kwargs[key[6:]] = value
+                else:
+                    raise ValueError(f"Unknown key: {key}")
+            training_results.append(TrainingResults(**train_kwargs))
+            testing_results.append(TestingResults(**test_kwargs))
+
+    TrainingResults.plot_losses(training_results)
+    TestingResults.plot_losses(testing_results)
+    TestingResults.plot_preds_overlap(testing_results)

@@ -251,7 +251,7 @@ class SynthesisBlock(nn.Module):
             const = self.param(
                 "const", nn.initializers.normal(1.0), (4, 4, self.out_channels)
             )
-            x = jnp.broadcast_to(const[None], (B, 4, 4, self.out_channels)).astype(jnp.float32)
+            x = jnp.broadcast_to(const[None], (B, 4, 4, self.out_channels))
         else:
             x = SynthesisLayer(
                 self.in_channels,

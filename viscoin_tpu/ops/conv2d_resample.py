@@ -43,6 +43,9 @@ def conv2d(
         w = jnp.flip(w, axis=(0, 1))
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    # No preferred_element_type override: a widened output dtype breaks the
+    # conv transpose (VJP) dtype matching, and the TPU MXU already
+    # accumulates bf16 convolutions in fp32 internally.
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -50,7 +53,6 @@ def conv2d(
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
 
 

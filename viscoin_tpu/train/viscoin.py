@@ -56,6 +56,10 @@ class VisCoINTrainingParams(IgnoreNone):
 
     gradient_accumulation: int = 1
 
+    # TPU-first addition: run the five network forwards in bfloat16 (fp32
+    # master params + fp32 loss math). The reference is fp32-only.
+    compute_dtype: str = "float32"
+
 
 class TrainState(struct.PyTreeNode):
     """Device-resident training state."""
@@ -140,58 +144,86 @@ def make_train_step(
     gan = models.gan
     tx, gan_tx = make_optimizers(cfg)
 
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    def cast(tree):
+        if compute_dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
     def loss_fn(params, frozen, real, labels, step, rng):
-        classifier_vars = frozen["classifier"]
-        synthesis_params = frozen["synthesis"]
+        # Mixed precision: cast weights + activations to the compute dtype at
+        # the jit boundary (differentiable; masters stay fp32). Losses are
+        # computed in fp32.
+        params_c = cast(params)
+        classifier_vars = cast(frozen["classifier"])
+        synthesis_params = cast(frozen["synthesis"])
         gan_noise = frozen["gan_noise"]
-        generator_vars = frozen["generator"]
+        generator_vars = cast(frozen["generator"])
+        lpips_params = cast(frozen["lpips"])
+        real = real.astype(compute_dtype)
 
         def lpips_fn(a, b):
-            return lpips_module.apply({"params": frozen["lpips"]}, a, b)
+            return lpips_module.apply(
+                {"params": lpips_params}, a.astype(compute_dtype),
+                b.astype(compute_dtype)
+            ).astype(jnp.float32)
 
         k_fake, k_noise1, k_noise2 = jax.random.split(rng, 3)
         B = real.shape[0]
 
         # Synthetic samples through the frozen original GAN
         # (reference: training/utils.py:26-39).
-        z = jax.random.normal(k_fake, (B, generator_gan.z_dim))
+        z = jax.random.normal(k_fake, (B, generator_gan.z_dim), compute_dtype)
         fake = generator_gan.apply(generator_vars, z, noise_mode="random",
-                                   rngs={"noise": k_noise1})
+                                   rngs={"noise": k_noise1}).astype(compute_dtype)
         all_images = jnp.concatenate([real, fake], axis=0)
 
         # f(x): frozen classifier (eval mode — running BN stats).
         classes, hidden = classifier.apply(classifier_vars, all_images, train=False)
+        classes = classes.astype(jnp.float32)
 
         # Psi, Theta.
-        phi, phi_prime = psi.apply({"params": params["concept_extractor"]},
+        phi, phi_prime = psi.apply({"params": params_c["concept_extractor"]},
                                    tuple(hidden[-3:]))
-        explainer_classes = theta.apply({"params": params["explainer"]}, phi,
-                                        train=True, rngs={"dropout": rng})
+        explainer_classes = theta.apply(
+            {"params": params_c["explainer"]}, phi, train=True, rngs={"dropout": rng}
+        ).astype(jnp.float32)
 
-        # Losses (reference: training/viscoin.py:181-209).
+        # Losses in fp32 (reference: training/viscoin.py:181-209).
+        phi32 = phi.astype(jnp.float32)
         acc_loss = L.softmax_cross_entropy(classes[:B], labels)
 
         gate = (step > cfg.cd_fid_iteration).astype(jnp.float32)
-        cr_loss = gate * cfg.delta * L.concept_regularization_loss(phi)
+        cr_loss = gate * cfg.delta * L.concept_regularization_loss(phi32)
         of_loss = gate * cfg.alpha * L.output_fidelity_loss(classes, explainer_classes)
 
+        # Orthogonality on the fp32 master weights.
         ortho_loss = L.concept_orthogonality_loss(
             params["concept_extractor"]["conv5"]["kernel"]
         )
 
         gan_variables = {
-            "params": {"mapping": params["mapping"], "synthesis": synthesis_params},
+            "params": {"mapping": params_c["mapping"], "synthesis": synthesis_params},
             **({"noise": gan_noise} if gan_noise else {}),
         }
         rebuilt, ws = gan.apply(gan_variables, phi, phi_prime, return_latents=True,
                                 noise_mode="random", rngs={"noise": k_noise2})
+        rebuilt = rebuilt.astype(compute_dtype)
         rebuilt_classes, _ = classifier.apply(classifier_vars, rebuilt, train=False)
 
         rec_loss = L.reconstruction_loss(
-            rebuilt, all_images, rebuilt_classes, classes, lpips_fn,
+            rebuilt.astype(jnp.float32), all_images.astype(jnp.float32),
+            rebuilt_classes.astype(jnp.float32), classes, lpips_fn,
             lambda_classes=cfg.gamma, lambda_lpips=cfg.beta,
         )
-        gan_loss = L.gan_regularization_loss(ws, params["mapping"]["fixed_w_avg"])
+        gan_loss = L.gan_regularization_loss(
+            ws.astype(jnp.float32), params["mapping"]["fixed_w_avg"]
+        )
 
         total = acc_loss + cr_loss + of_loss + ortho_loss + rec_loss + gan_loss
         metrics = {
