@@ -183,6 +183,37 @@ def convert_torch_lpips(sd: dict[str, np.ndarray]) -> dict:
     return params
 
 
+# -------------------------------- Inception --------------------------------- #
+
+
+def convert_torch_inception(sd: dict[str, np.ndarray]) -> dict:
+    """Convert a torchvision ``inception_v3`` (or pytorch-fid FIDInceptionV3)
+    state_dict into variables for
+    :class:`viscoin_tpu.models.inception.InceptionV3Features`.
+
+    Torch module paths (e.g. ``Mixed_5b.branch1x1.conv.weight``) map 1:1 onto
+    our module names; BN stats go to batch_stats. The fc / AuxLogits heads are
+    ignored (features only)."""
+    params: dict = {}
+    stats: dict = {}
+    prefixes = sorted({k.rsplit(".conv.weight", 1)[0] for k in sd
+                       if k.endswith(".conv.weight")})
+    for prefix in prefixes:
+        parts = prefix.split(".")
+        if parts[0] in ("fc", "AuxLogits") or "AuxLogits" in parts:
+            continue
+        p_node, s_node = params, stats
+        for part in parts[:-1]:
+            p_node = p_node.setdefault(part, {})
+            s_node = s_node.setdefault(part, {})
+        leaf = parts[-1]
+        bn_p, bn_s = _bn(sd, f"{prefix}.bn")
+        p_node[leaf] = {"conv": {"kernel": _conv(sd[f"{prefix}.conv.weight"])},
+                        "bn": bn_p}
+        s_node[leaf] = {"bn": bn_s}
+    return {"params": params, "batch_stats": stats}
+
+
 # ---------------------------------- CLIP ----------------------------------- #
 
 
