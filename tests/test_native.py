@@ -1,0 +1,91 @@
+"""Tests for the native C++ batch transform (build, correctness vs PIL,
+loader integration, throughput sanity)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from viscoin_tpu import native
+from viscoin_tpu.data.datasets import SyntheticDataset
+from viscoin_tpu.data.loader import DataLoader
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="C++ toolchain unavailable")
+
+
+def test_native_resize_matches_pil(rng):
+    from PIL import Image
+
+    img = rng.integers(0, 256, (200, 300, 3), dtype=np.uint8)
+    boxes = np.asarray([[10, 20, 150, 250]], np.int32)
+    got = native.transform_batch([img], boxes, 64)[0]
+
+    crop = img[10:160, 20:270]
+    want = np.asarray(Image.fromarray(crop).resize((64, 64), Image.BILINEAR))
+    # PIL uses a slightly different filter footprint; allow small deviation.
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert np.mean(diff) < 3.0
+    assert np.percentile(diff, 99) <= 12
+
+
+def test_native_identity_crop(rng):
+    """Crop == full image, resize to same size → identity."""
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    boxes = np.asarray([[0, 0, 64, 64]], np.int32)
+    out = native.transform_batch([img], boxes, 64)[0]
+    np.testing.assert_array_equal(out, img)
+
+
+def test_native_batch_multithreaded(rng):
+    imgs = [rng.integers(0, 256, (100 + i, 120 + i, 3), dtype=np.uint8)
+            for i in range(16)]
+    boxes = native.crop_boxes([im.shape[:2] for im in imgs], "test", 32, rng)
+    out = native.transform_batch(imgs, boxes, 32, n_threads=4)
+    assert out.shape == (16, 32, 32, 3)
+    out1 = native.transform_batch(imgs, boxes, 32, n_threads=1)
+    np.testing.assert_array_equal(out, out1)
+
+
+def test_crop_boxes_modes(rng):
+    boxes_test = native.crop_boxes([(300, 400)], "test", 256, rng)
+    t, l, ch, cw = boxes_test[0]
+    assert ch == cw == int(round(300 * 0.875))
+    assert t == (300 - ch) // 2 and l == (400 - cw) // 2
+
+    for _ in range(20):
+        t, l, ch, cw = native.crop_boxes([(120, 200)], "train", 64, rng)[0]
+        assert 0 <= t and t + ch <= 120 and 0 <= l and l + cw <= 200
+
+
+def test_loader_native_path(rng):
+    ds = SyntheticDataset(n=12, n_classes=3, image_size=64, mode="test")
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_threads=2,
+                        use_native=True)
+    assert loader.use_native
+    batches = list(loader)
+    assert len(batches) == 3
+    images, labels = batches[0]
+    assert images.shape == (4, 64, 64, 3) and images.dtype == np.uint8
+    assert labels.tolist() == [0, 1, 2, 0]
+
+
+def test_native_is_faster_than_pil(rng):
+    """Throughput sanity: native batch transform beats per-image PIL."""
+    imgs = [rng.integers(0, 256, (500, 600, 3), dtype=np.uint8) for _ in range(32)]
+    boxes = native.crop_boxes([im.shape[:2] for im in imgs], "test", 256, rng)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        native.transform_batch(imgs, boxes, 256, n_threads=8)
+    native_t = time.perf_counter() - t0
+
+    from PIL import Image
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        for im, (t, l, ch, cw) in zip(imgs, boxes):
+            Image.fromarray(im[t:t + ch, l:l + cw]).resize((256, 256), Image.BILINEAR)
+    pil_t = time.perf_counter() - t0
+    # Only assert it's not drastically slower (CI machines vary).
+    assert native_t < pil_t * 2.0, (native_t, pil_t)

@@ -20,7 +20,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = False, num_threads: int = 8,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_native: bool | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -29,6 +29,13 @@ class DataLoader:
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # Native C++ crop+resize fast path (viscoin_tpu/native): auto-on when
+        # the library builds and the dataset exposes decoded raw images.
+        if use_native is None:
+            from viscoin_tpu import native
+
+            use_native = native.available() and hasattr(dataset, "raw_image")
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -46,6 +53,8 @@ class DataLoader:
             yield idx[start : start + self.batch_size]
 
     def _make_batch(self, indices, pool: ThreadPoolExecutor | None):
+        if self.use_native:
+            return self._make_batch_native(indices, pool)
         if pool is not None:
             items = list(pool.map(self.dataset.__getitem__, indices))
         else:
@@ -54,6 +63,24 @@ class DataLoader:
         labels = np.asarray([it[1] for it in items], np.int32)
         if len(items[0]) == 3:  # captioned dataset
             return images, labels, [it[2] for it in items]
+        return images, labels
+
+    def _make_batch_native(self, indices, pool: ThreadPoolExecutor | None):
+        """Decode (threaded, cached) then one native crop+resize call for the
+        whole batch."""
+        from viscoin_tpu import native
+
+        ds = self.dataset
+        if pool is not None:
+            raws = list(pool.map(ds.raw_image, indices))
+        else:
+            raws = [ds.raw_image(i) for i in indices]
+        raws = [np.ascontiguousarray(r) for r in raws]
+        boxes = native.crop_boxes([r.shape[:2] for r in raws], ds.transform_mode,
+                                  ds.out_size, self._rng)
+        images = native.transform_batch(raws, boxes, ds.out_size,
+                                        n_threads=max(self.num_threads, 1))
+        labels = np.asarray([ds._label(int(i)) for i in indices], np.int32)
         return images, labels
 
     def __iter__(self):

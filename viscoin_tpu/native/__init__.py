@@ -1,0 +1,113 @@
+"""Native (C++) batch transform: build-on-first-use + ctypes bindings.
+
+The library (transform.cpp) performs crop + bilinear-resize over a whole
+batch with a thread pool — the host-side hot path of the data pipeline. The
+Python side computes the crop boxes (RandomResizedCrop / Resize+CenterCrop
+geometry, matching viscoin/datasets/transforms.py) and hands pointers over.
+
+Gated: if no C++ toolchain is available the callers fall back to the PIL
+path in data/transforms.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_LIB_FAILED = False
+
+
+def _build_and_load():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    src = os.path.join(os.path.dirname(__file__), "transform.cpp")
+    out = os.path.join(os.path.dirname(__file__), "libvctransform.so")
+    try:
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 src, "-o", out],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(out)
+        lib.vct_transform_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # srcs
+            ctypes.POINTER(ctypes.c_int),  # hs
+            ctypes.POINTER(ctypes.c_int),  # ws
+            ctypes.POINTER(ctypes.c_int),  # tops
+            ctypes.POINTER(ctypes.c_int),  # lefts
+            ctypes.POINTER(ctypes.c_int),  # chs
+            ctypes.POINTER(ctypes.c_int),  # cws
+            ctypes.c_void_p,  # out
+            ctypes.c_int,  # n
+            ctypes.c_int,  # size
+            ctypes.c_int,  # threads
+        ]
+        lib.vct_transform_batch.restype = None
+        _LIB = lib
+    except Exception:
+        _LIB_FAILED = True
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def transform_batch(images: list[np.ndarray], boxes: np.ndarray, size: int,
+                    n_threads: int = 8) -> np.ndarray:
+    """Crop+resize a list of HWC uint8 images into one (N, size, size, 3) batch.
+
+    Args:
+        images: list of (h, w, 3) contiguous uint8 arrays.
+        boxes: (N, 4) int32 — (top, left, crop_h, crop_w) per image.
+    """
+    lib = _build_and_load()
+    assert lib is not None, "native transform library unavailable"
+    n = len(images)
+    out = np.empty((n, size, size, 3), np.uint8)
+    srcs = (ctypes.c_void_p * n)(
+        *[img.ctypes.data_as(ctypes.c_void_p).value for img in images]
+    )
+    hs = np.asarray([img.shape[0] for img in images], np.int32)
+    ws = np.asarray([img.shape[1] for img in images], np.int32)
+    boxes = np.ascontiguousarray(boxes, np.int32)
+
+    def iptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    tops = np.ascontiguousarray(boxes[:, 0])
+    lefts = np.ascontiguousarray(boxes[:, 1])
+    chs = np.ascontiguousarray(boxes[:, 2])
+    cws = np.ascontiguousarray(boxes[:, 3])
+    lib.vct_transform_batch(
+        srcs, iptr(hs), iptr(ws), iptr(tops), iptr(lefts), iptr(chs), iptr(cws),
+        out.ctypes.data_as(ctypes.c_void_p), n, size, n_threads,
+    )
+    return out
+
+
+def crop_boxes(shapes: list[tuple[int, int]], mode: str, size: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """Compute crop boxes for a batch.
+
+    train: RandomResizedCrop geometry (viscoin/datasets/transforms.py:16).
+    test: Resize(short=size/0.875)+CenterCrop(size) collapsed into ONE
+          crop+resize — the center region of side short*0.875 (equivalent
+          geometry with a single resampling pass).
+    """
+    from viscoin_tpu.data.transforms import random_resized_crop_params
+
+    boxes = np.zeros((len(shapes), 4), np.int32)
+    for i, (h, w) in enumerate(shapes):
+        if mode == "train":
+            boxes[i] = random_resized_crop_params(h, w, rng)
+        else:
+            side = int(round(min(h, w) * 0.875))
+            boxes[i] = ((h - side) // 2, (w - side) // 2, side, side)
+    return boxes
