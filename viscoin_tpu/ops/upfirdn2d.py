@@ -131,8 +131,10 @@ def upfirdn2d(
     f = f * gain
 
     B, H, W, C = x.shape
-    # Depthwise kernel: same taps for every channel.
-    kernel = jnp.broadcast_to(f[:, :, None, None], (fh, fw, 1, C)).astype(jnp.float32)
+    # Depthwise kernel: same taps for every channel. Computed in the input
+    # dtype (a 16-tap normalized lowpass is well-conditioned in bf16; fp32
+    # inputs keep fp32).
+    kernel = jnp.broadcast_to(f[:, :, None, None], (fh, fw, 1, C)).astype(x.dtype)
 
     # Fold the reference's trailing zero-insertion zeros (up - 1 of them) into
     # the trailing pad: lhs_dilation yields (H-1)*up + 1 samples.
@@ -140,8 +142,8 @@ def upfirdn2d(
         (pady0, pady1 + (upy - 1)),
         (padx0, padx1 + (upx - 1)),
     )
-    out = lax.conv_general_dilated(
-        x.astype(jnp.float32),
+    return lax.conv_general_dilated(
+        x,
         kernel,
         window_strides=(downy, downx),
         padding=pads,
@@ -150,7 +152,6 @@ def upfirdn2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
     )
-    return out.astype(x.dtype)
 
 
 def upsample2d(x, f, *, up=2, padding=0, flip_filter=False, gain=1.0):
