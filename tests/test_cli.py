@@ -1,0 +1,78 @@
+"""CLI integration tests via click's CliRunner (reference surface parity:
+main.py + viscoin/cli/*)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+
+def test_cli_registers_all_reference_commands():
+    from main import main
+
+    commands = set(main.commands)
+    # the reference's 8 subcommands (reference main.py:38-45)
+    assert {"train", "test", "to-pickle", "amplify", "concepts",
+            "concept-heatmaps", "logs", "amplify-pca"} <= commands
+
+
+@pytest.mark.parametrize("cmd,flags", [
+    ("train", ["--batch-size", "--epochs", "--learning-rate", "--device",
+               "--dataset", "--output-weights", "--checkpoints",
+               "--gradient-accumulation-steps", "--latent-type"]),
+    ("test", ["--batch-size", "--device", "--dataset", "--checkpoints"]),
+    ("amplify", ["--concept-threshold", "--concept-top-k", "--concept-indices",
+                 "--image-indices", "--viscoin-pickle-path"]),
+    ("amplify-pca", ["--pca", "--image", "--viscoin-pickle-path"]),
+    ("concepts", ["--force", "--viscoin-pickle-path", "--batch-size"]),
+    ("logs", ["--logs-path"]),
+])
+def test_cli_flag_surface(cmd, flags):
+    """Every reference CLI flag exists (viscoin/cli/utils.py + per-command)."""
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, [cmd, "--help"])
+    assert result.exit_code == 0
+    for flag in flags:
+        assert flag in result.output, f"{cmd} missing {flag}"
+
+
+def test_cli_test_classifier_synthetic(tmp_path, monkeypatch):
+    """`test classifier --dataset synthetic` end-to-end (random weights)."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "64")
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["test", "classifier", "--dataset", "synthetic",
+                                  "--batch-size", "4"])
+    assert result.exit_code == 0, result.output
+    assert "Accuracy:" in result.output and "Loss:" in result.output
+
+
+def test_cli_logs_roundtrip(tmp_path):
+    """`logs` parses the jsonl schema (non-interactive matplotlib)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    log = tmp_path / "viscoin_10.jsonl"
+    record = {f"train_{k}": 0.1 for k in
+              ["acc_loss", "cr_loss", "of_loss", "ortho_loss", "rec_loss",
+               "gan_loss", "inter_loss"]}
+    record.update({f"test_{k}": 0.2 for k in
+                   ["acc_loss", "cr_loss", "of_loss", "lp_loss", "rec_loss_l1",
+                    "rec_loss_l2", "preds_overlap", "correct_preds",
+                    "correct_expl_preds"]})
+    with open(log, "w") as f:
+        f.write(json.dumps(record) + "\n")
+        f.write(json.dumps(record) + "\n")
+
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["logs", "--logs-path", str(log)])
+    assert result.exit_code == 0, result.output

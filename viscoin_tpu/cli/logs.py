@@ -23,10 +23,14 @@ def logs(logs_path: str):
             data = json.loads(line)
             train_kwargs, test_kwargs = {}, {}
             for key, value in data.items():
+                # NOTE: the reference slices key[6:] for BOTH prefixes
+                # (cli/logs.py:33-35), which mangles "test_*" keys ("test_" is
+                # 5 chars) and crashes its own command on viscoin logs —
+                # fixed here by stripping the actual prefix.
                 if key.startswith("train_"):
-                    train_kwargs[key[6:]] = value
+                    train_kwargs[key[len("train_"):]] = value
                 elif key.startswith("test_"):
-                    test_kwargs[key[6:]] = value
+                    test_kwargs[key[len("test_"):]] = value
                 else:
                     raise ValueError(f"Unknown key: {key}")
             training_results.append(TrainingResults(**train_kwargs))

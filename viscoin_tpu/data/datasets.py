@@ -232,9 +232,15 @@ class SyntheticDataset(ImageDataset):
     """Deterministic random images — CI/bench stand-in when no dataset is on
     disk (the reference has no offline story at all; tests need one)."""
 
-    def __init__(self, n: int = 64, n_classes: int = 10, image_size: int = 256,
-                 mode: Mode = "train", transform: Mode | None = None, seed: int = 0):
+    def __init__(self, n: int | None = None, n_classes: int = 10,
+                 image_size: int | None = None, mode: Mode = "train",
+                 transform: Mode | None = None, seed: int = 0):
         super().__init__(mode, transform, seed=seed)
+        # env knobs so the CLI can smoke-test with tiny configs
+        if n is None:
+            n = int(os.environ.get("VISCOIN_SYNTH_N", 64))
+        if image_size is None:
+            image_size = int(os.environ.get("VISCOIN_SYNTH_SIZE", 256))
         self.n = n
         self.n_classes = n_classes
         self.image_size = image_size
