@@ -208,6 +208,33 @@ def test_adapted_params_from_gan_transplant():
     assert img.shape == (1, 16, 16, 3)
 
 
+def test_discriminator_forward_and_grads():
+    from viscoin_tpu.models.stylegan import Discriminator
+
+    d = Discriminator(img_resolution=32, channel_base=512, channel_max=32)
+    img = jax.random.normal(KEY, (4, 32, 32, 3))
+    v = d.init(KEY, img)
+    logits = d.apply(v, img)
+    assert logits.shape == (4, 1)
+
+    g = jax.grad(lambda p: jnp.sum(d.apply(p, img)))(v)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_minibatch_std_layer():
+    from viscoin_tpu.models.stylegan import MinibatchStdLayer
+
+    m = MinibatchStdLayer(group_size=2)
+    x = jax.random.normal(KEY, (4, 8, 8, 6))
+    y = m.apply({}, x)
+    assert y.shape == (4, 8, 8, 7)
+    # identical samples within a group → zero stddev channel
+    x0 = jnp.broadcast_to(x[:1], x.shape)
+    y0 = m.apply({}, x0)
+    np.testing.assert_allclose(np.asarray(y0[..., -1]), 0.0, atol=1e-3)
+
+
 def test_synthesis_grad_flows_to_mapping_only_when_frozen():
     """The VisCoIN loop freezes synthesis and trains only the mapping —
     check grads exist and are finite w.r.t. mapping params."""

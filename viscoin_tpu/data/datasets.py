@@ -228,6 +228,29 @@ class FunnyBirds(ImageDataset):
         return np.asarray(img.convert("RGB"), np.uint8)
 
 
+def export_funnybirds_stylegan_zip(root: str | None = None,
+                                   out_path: str = "funnybirds_dataset.zip"):
+    """Export FunnyBirds (train + test) as a StyleGAN2-ADA training zip with
+    dataset.json labels (reference: viscoin/datasets/funnybirds.py:116-144)."""
+    import io
+    import json
+    import zipfile
+
+    labels_data = {"labels": []}
+    with zipfile.ZipFile(out_path, "w") as zipf:
+        for mode in ("train", "test"):
+            ds = FunnyBirds(mode=mode, root=root)
+            for idx in range(len(ds)):
+                path = os.path.join(ds.dataset_path, mode, ds.image_paths[idx])
+                file_name = f"{mode}_{os.path.basename(path)}"
+                zipf.write(path, arcname=file_name)
+                labels_data["labels"].append([file_name, ds.labels[idx]])
+        json_bytes = json.dumps(labels_data, indent=4).encode("utf-8")
+        with io.BytesIO(json_bytes) as json_file:
+            zipf.writestr("dataset.json", json_file.getvalue())
+    print(f"Dataset saved as {out_path}")
+
+
 class SyntheticDataset(ImageDataset):
     """Deterministic random images — CI/bench stand-in when no dataset is on
     disk (the reference has no offline story at all; tests need one)."""

@@ -556,6 +556,103 @@ class GeneratorAdapted(nn.Module):
         return self._post(self.synthesis(w, noise_mode=noise_mode))
 
 
+class MinibatchStdLayer(nn.Module):
+    """Append cross-group feature stddev as an extra channel (reference:
+    networks.py::MinibatchStdLayer)."""
+
+    group_size: int = 4
+    num_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        G = min(self.group_size, B)
+        G = B // (B // G) if B % G == 0 else 1
+        F = self.num_channels
+        c = C // F
+        y = x.reshape(G, B // G, H, W, F, c).astype(jnp.float32)
+        y = y - jnp.mean(y, axis=0, keepdims=True)
+        y = jnp.sqrt(jnp.mean(jnp.square(y), axis=0) + 1e-8)
+        y = jnp.mean(y, axis=(1, 2, 4))  # (B//G, F)
+        y = jnp.repeat(y, G, axis=0).astype(x.dtype)  # (B, F)
+        y = jnp.broadcast_to(y[:, None, None, :], (B, H, W, F))
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DiscriminatorBlock(nn.Module):
+    """fromRGB + 2 convs with residual downsample (reference:
+    networks.py::DiscriminatorBlock, architecture='resnet' — the ADA default)."""
+
+    in_channels: int  # 0 for the first block (consumes the image via fromrgb)
+    tmp_channels: int
+    out_channels: int
+    img_channels: int = 3
+    architecture: str = "resnet"
+    resample_filter: Sequence[int] = (1, 3, 3, 1)
+    conv_clamp: float | None = None
+
+    @nn.compact
+    def __call__(self, x, img):
+        if self.in_channels == 0:
+            x_in = Conv2dLayer(self.img_channels, self.tmp_channels, 1,
+                               activation="lrelu", conv_clamp=self.conv_clamp,
+                               name="fromrgb")(img)
+            x = x_in if x is None else x + x_in
+        y = None
+        if self.architecture == "resnet":
+            y = Conv2dLayer(self.tmp_channels, self.out_channels, 1, use_bias=False,
+                            down=2, resample_filter=self.resample_filter,
+                            name="skip")(x, gain=math.sqrt(0.5))
+        x = Conv2dLayer(self.tmp_channels, self.tmp_channels, 3, activation="lrelu",
+                        conv_clamp=self.conv_clamp, name="conv0")(x)
+        x = Conv2dLayer(self.tmp_channels, self.out_channels, 3, activation="lrelu",
+                        down=2, resample_filter=self.resample_filter,
+                        conv_clamp=self.conv_clamp, name="conv1")(
+            x, gain=math.sqrt(0.5) if y is not None else 1.0)
+        if y is not None:
+            x = y + x
+        return x, None
+
+
+class Discriminator(nn.Module):
+    """StyleGAN2 discriminator (reference: networks.py::Discriminator).
+    Unused by the VisCoIN training loop (the GAN arrives pretrained,
+    SURVEY.md §2.2) — provided for capability completeness so GANs can be
+    trained/fine-tuned in-framework."""
+
+    img_resolution: int = 256
+    img_channels: int = 3
+    channel_base: int = 32768
+    channel_max: int = 512
+    mbstd_group_size: int = 4
+    conv_clamp: float | None = None
+
+    def channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+    @nn.compact
+    def __call__(self, img: jax.Array) -> jax.Array:
+        resolutions = [2**i for i in range(int(math.log2(self.img_resolution)), 2, -1)]
+        x = None
+        for i, res in enumerate(resolutions):
+            x, _ = DiscriminatorBlock(
+                in_channels=0 if i == 0 else self.channels(res),
+                tmp_channels=self.channels(res),
+                out_channels=self.channels(res // 2),
+                img_channels=self.img_channels,
+                conv_clamp=self.conv_clamp,
+                name=f"b{res}",
+            )(x, img if i == 0 else None)
+        # Epilogue at 4x4 (reference: DiscriminatorEpilogue).
+        x = MinibatchStdLayer(self.mbstd_group_size, name="mbstd")(x)
+        ch4 = self.channels(4)
+        x = Conv2dLayer(ch4 + 1, ch4, 3, activation="lrelu",
+                        conv_clamp=self.conv_clamp, name="conv")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = FullyConnected(ch4 * 16, ch4, activation="lrelu", name="fc")(x)
+        return FullyConnected(ch4, 1, name="out")(x)
+
+
 def adapted_params_from_gan(adapted_variables, gan_variables):
     """Transplant a pretrained generator's synthesis params (and noise
     buffers) into a freshly initialized GeneratorAdapted variables pytree

@@ -178,21 +178,24 @@ def make_train_step(
 
         # Synthetic samples through the frozen original GAN
         # (reference: training/utils.py:26-39).
-        z = jax.random.normal(k_fake, (B, generator_gan.z_dim), compute_dtype)
-        fake = generator_gan.apply(generator_vars, z, noise_mode="random",
-                                   rngs={"noise": k_noise1}).astype(compute_dtype)
+        with jax.named_scope("synthetic_samples"):
+            z = jax.random.normal(k_fake, (B, generator_gan.z_dim), compute_dtype)
+            fake = generator_gan.apply(generator_vars, z, noise_mode="random",
+                                       rngs={"noise": k_noise1}).astype(compute_dtype)
         all_images = jnp.concatenate([real, fake], axis=0)
 
         # f(x): frozen classifier (eval mode — running BN stats).
-        classes, hidden = classifier.apply(classifier_vars, all_images, train=False)
+        with jax.named_scope("classifier_f"):
+            classes, hidden = classifier.apply(classifier_vars, all_images, train=False)
         classes = classes.astype(jnp.float32)
 
         # Psi, Theta.
-        phi, phi_prime = psi.apply({"params": params_c["concept_extractor"]},
-                                   tuple(hidden[-3:]))
-        explainer_classes = theta.apply(
-            {"params": params_c["explainer"]}, phi, train=True, rngs={"dropout": rng}
-        ).astype(jnp.float32)
+        with jax.named_scope("psi_theta"):
+            phi, phi_prime = psi.apply({"params": params_c["concept_extractor"]},
+                                       tuple(hidden[-3:]))
+            explainer_classes = theta.apply(
+                {"params": params_c["explainer"]}, phi, train=True, rngs={"dropout": rng}
+            ).astype(jnp.float32)
 
         # Losses in fp32 (reference: training/viscoin.py:181-209).
         phi32 = phi.astype(jnp.float32)
@@ -211,10 +214,12 @@ def make_train_step(
             "params": {"mapping": params_c["mapping"], "synthesis": synthesis_params},
             **({"noise": gan_noise} if gan_noise else {}),
         }
-        rebuilt, ws = gan.apply(gan_variables, phi, phi_prime, return_latents=True,
-                                noise_mode="random", rngs={"noise": k_noise2})
+        with jax.named_scope("gan_reconstruction"):
+            rebuilt, ws = gan.apply(gan_variables, phi, phi_prime, return_latents=True,
+                                    noise_mode="random", rngs={"noise": k_noise2})
         rebuilt = rebuilt.astype(compute_dtype)
-        rebuilt_classes, _ = classifier.apply(classifier_vars, rebuilt, train=False)
+        with jax.named_scope("classifier_f_rebuilt"):
+            rebuilt_classes, _ = classifier.apply(classifier_vars, rebuilt, train=False)
 
         rec_loss = L.reconstruction_loss(
             rebuilt.astype(jnp.float32), all_images.astype(jnp.float32),
