@@ -1,0 +1,165 @@
+"""Port torch checkpoints from the reference ecosystem to orbax checkpoints.
+
+Usage (requires torch, CPU is enough):
+
+    python scripts/port_weights.py classifier   model.pt  checkpoints/cub/classifier-cub
+    python scripts/port_weights.py viscoin      viscoin.pth out_dir       # joint state_dict (models/utils.py:177)
+    python scripts/port_weights.py stylegan     gan.pkl   checkpoints/cub/gan-cub
+    python scripts/port_weights.py lpips        lpips_vgg.pth checkpoints/lpips-vgg
+    python scripts/port_weights.py clip         ViT-B-32.pt  checkpoints/clip/vit-b-32
+    python scripts/port_weights.py inception    inception_v3.pth checkpoints/inception
+
+`stylegan` accepts either a plain state_dict or an NVlabs stylegan2-ada
+pickle: the pickle is parsed with a shimmed `torch_utils.persistence` module
+(the NVlabs format embeds its source; we only extract the raw tensors), so
+the submodule is NOT needed.
+"""
+
+import sys
+
+sys.path.insert(0, ".")  # run from the repo root
+
+
+def load_torch_file(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_nvlabs_pickle(path: str):
+    """Best-effort extraction of {name: tensor} state dicts from an NVlabs
+    stylegan2-ada network pickle WITHOUT the submodule: shim
+    torch_utils.persistence so unpickling yields the embedded state dict.
+
+    The NVlabs format pickles `_reconstruct_persistent_obj(meta)` calls where
+    ``meta['state']`` holds the module state (incl. the state_dict tensors).
+    """
+    import pickle
+    import sys
+    import types
+
+    import torch
+
+    captured = []
+
+    class _Stub:
+        """Absorbs any reconstruction call and keeps the state."""
+
+        def __init__(self, *args, **kwargs):
+            self.args = args
+            self.kwargs = kwargs
+
+        def __setstate__(self, state):
+            self.__dict__.update(state if isinstance(state, dict) else {"state": state})
+            captured.append(self.__dict__)
+
+    def _reconstruct(meta):
+        captured.append(meta)
+        return meta
+
+    persistence = types.ModuleType("torch_utils.persistence")
+    persistence._reconstruct_persistent_obj = _reconstruct
+    for name, mod in [("torch_utils", types.ModuleType("torch_utils")),
+                      ("torch_utils.persistence", persistence)]:
+        sys.modules.setdefault(name, mod)
+    sys.modules["torch_utils"].persistence = persistence
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _Stub
+
+        def persistent_load(self, pid):  # torch storage loading
+            raise pickle.UnpicklingError("use torch.load path")
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False,
+                         pickle_module=pickle)
+    except Exception:
+        with open(path, "rb") as f:
+            obj = _Unpickler(f).load()
+
+    # Collect tensor dicts from the object / captured metas.
+    def tensors_from(o, prefix=""):
+        out = {}
+        if hasattr(o, "state_dict"):
+            try:
+                return {k: v for k, v in o.state_dict().items()}
+            except Exception:
+                pass
+        if isinstance(o, dict):
+            for k, v in o.items():
+                if hasattr(v, "numpy") and hasattr(v, "shape"):
+                    out[f"{prefix}{k}"] = v
+                elif isinstance(v, dict):
+                    out.update(tensors_from(v, f"{prefix}{k}."))
+                elif hasattr(v, "__dict__"):
+                    out.update(tensors_from(v.__dict__, f"{prefix}{k}."))
+        return out
+
+    result = {}
+    if isinstance(obj, dict):
+        for key in ("G_ema", "G", "generator", "gan"):
+            if key in obj:
+                result[key] = tensors_from(obj[key] if isinstance(obj[key], dict)
+                                           else getattr(obj[key], "__dict__", {}))
+        if not result:
+            result["G_ema"] = tensors_from(obj)
+    for meta in captured:
+        state = meta.get("state", meta)
+        if isinstance(state, dict):
+            t = tensors_from(state)
+            if t and "G_ema" not in result:
+                result["G_ema"] = t
+    return result
+
+
+def main():
+    from viscoin_tpu.utils import porting
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    obj = load_torch_file(src) if kind != "stylegan" else None
+
+    if kind == "classifier":
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        out = porting.convert_torch_classifier(porting.state_dict_to_numpy(sd))
+    elif kind == "viscoin":
+        sd = obj  # {"classifier":..., "concept_extractor":..., ...} of state_dicts
+        out = {
+            "classifier": porting.convert_torch_classifier(
+                porting.state_dict_to_numpy(sd["classifier"])),
+            "concept_extractor": porting.convert_torch_concept_extractor(
+                porting.state_dict_to_numpy(sd["concept_extractor"])),
+            "explainer": porting.convert_torch_explainer(
+                porting.state_dict_to_numpy(sd["explainer"])),
+            "gan": porting.convert_torch_generator_adapted(
+                porting.state_dict_to_numpy(sd["gan"])),
+        }
+    elif kind == "stylegan":
+        nets = load_nvlabs_pickle(src)
+        sd = nets.get("G_ema") or next(iter(nets.values()))
+        out = porting.convert_torch_generator(porting.state_dict_to_numpy(sd))
+    elif kind == "lpips":
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        out = porting.convert_torch_lpips(porting.state_dict_to_numpy(sd))
+    elif kind == "clip":
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        keys = list(sd)
+        conv = (porting.convert_hf_clip if any(k.startswith("vision_model") for k in keys)
+                else porting.convert_torch_clip)
+        out = conv(porting.state_dict_to_numpy(sd))
+    elif kind == "inception":
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        out = porting.convert_torch_inception(porting.state_dict_to_numpy(sd))
+    else:
+        raise SystemExit(f"unknown kind: {kind}")
+
+    save_pytree(out, dst)
+    print(f"ported {kind}: {src} -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

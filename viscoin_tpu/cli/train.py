@@ -43,10 +43,16 @@ from viscoin_tpu.utils.logging import configure_score_logging
 @click.option("--data-parallel/--no-data-parallel", default=True,
               help="Shard the batch over all local devices (new capability; "
                    "the reference is single-device)")
+@click.option("--debug-nans", is_flag=True,
+              help="Fail fast on NaNs in any jitted computation")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel):
+          data_parallel, debug_nans):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
+    if debug_nans:
+        from viscoin_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
     match model_name:
         case "classifier":
             _train_classifier(dataset, checkpoints, batch_size, learning_rate,
