@@ -1,20 +1,28 @@
-"""Training: losses + jitted training loops (reference: viscoin/training/*)."""
+"""Training: losses + jitted training loops (reference: viscoin/training/*).
 
-from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
-from viscoin_tpu.train.concept2clip import Concept2ClipTrainingParams, train_concept2clip
-from viscoin_tpu.train.viscoin import (
-    TrainState,
-    VisCoINTrainingParams,
-    create_train_state,
-    make_frozen,
-    make_jitted_train_step,
-    make_train_step,
-    train_viscoin,
-)
+Lazy exports (PEP 562) — train and eval reference each other
+(training loops evaluate; evaluation uses the loss library)."""
 
-__all__ = [
-    "ClassifierTrainingParams", "train_classifier",
-    "Concept2ClipTrainingParams", "train_concept2clip",
-    "TrainState", "VisCoINTrainingParams", "create_train_state", "make_frozen",
-    "make_jitted_train_step", "make_train_step", "train_viscoin",
-]
+_EXPORTS = {
+    "ClassifierTrainingParams": "viscoin_tpu.train.classifiers",
+    "train_classifier": "viscoin_tpu.train.classifiers",
+    "Concept2ClipTrainingParams": "viscoin_tpu.train.concept2clip",
+    "train_concept2clip": "viscoin_tpu.train.concept2clip",
+    "TrainState": "viscoin_tpu.train.viscoin",
+    "VisCoINTrainingParams": "viscoin_tpu.train.viscoin",
+    "create_train_state": "viscoin_tpu.train.viscoin",
+    "make_frozen": "viscoin_tpu.train.viscoin",
+    "make_jitted_train_step": "viscoin_tpu.train.viscoin",
+    "make_train_step": "viscoin_tpu.train.viscoin",
+    "train_viscoin": "viscoin_tpu.train.viscoin",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(name)
