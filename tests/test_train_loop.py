@@ -1,0 +1,108 @@
+"""Integration test of the full train_viscoin outer loop (reference:
+training/viscoin.py:84-295): eval cadence, jsonl logging, checkpointing,
+faithfulness probe, and resume — on tiny models + synthetic data."""
+
+import json
+import logging
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viscoin_tpu.data.datasets import SyntheticDataset
+from viscoin_tpu.data.loader import DataLoader
+from viscoin_tpu.models.bundle import VisCoINModels, init_models
+from viscoin_tpu.models.concept_extractor import ConceptExtractor
+from viscoin_tpu.models.explainer import Explainer
+from viscoin_tpu.models.lpips import LPIPS
+from viscoin_tpu.models.resnet import Classifier
+from viscoin_tpu.models.stylegan import Generator, GeneratorAdapted
+from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
+
+IMG, NC, NK = 32, 4, 8
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    models = VisCoINModels(
+        classifier=Classifier(output_classes=NC, embedding_size=8,
+                              hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1)),
+        concept_extractor=ConceptExtractor(n_concepts=NK, latent_channels=8,
+                                           input_channels1=16, input_channels2=32,
+                                           input_channels3=64),
+        explainer=Explainer(n_concepts=NK, n_classes=NC),
+        gan=GeneratorAdapted(z_dim=NK, w_dim=32, img_resolution=IMG,
+                             channel_base=256, channel_max=16),
+    )
+    models = init_models(models, jax.random.PRNGKey(0), image_size=IMG)
+    generator = Generator(z_dim=16, w_dim=32, img_resolution=IMG,
+                          channel_base=256, channel_max=16, mapping_layers=2)
+    gvars = generator.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 16)),
+                           noise_mode="const")
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(2), jnp.zeros((1, IMG, IMG, 3)),
+                         jnp.zeros((1, IMG, IMG, 3)))["params"]
+    return models, generator, gvars, lpips, lparams
+
+
+def test_train_viscoin_loop(tiny, tmp_path):
+    from viscoin_tpu.utils.logging import configure_score_logging
+
+    models, generator, gvars, lpips, lparams = tiny
+    log_path = str(tmp_path / "viscoin_4.jsonl")
+    configure_score_logging(log_path)
+
+    train_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG, mode="train")
+    test_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG, mode="test")
+    train_loader = DataLoader(train_ds, batch_size=2, num_threads=0)
+    test_loader = DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0)
+
+    cfg = VisCoINTrainingParams(iterations=4, batch_size=2, cd_fid_iteration=-1)
+    p_before = jax.tree_util.tree_map(np.copy, models.concept_params)
+
+    out = train_viscoin(models, generator, gvars, lpips, lparams,
+                        train_loader, test_loader, cfg,
+                        checkpoint_dir=str(tmp_path),
+                        eval_every=2, checkpoint_every=3, faithfulness_every=2)
+
+    # params moved and were synced back into the bundle
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(p_before),
+                                jax.tree_util.tree_leaves(out.concept_params)))
+    assert moved
+
+    # jsonl has the reference's train_/test_ key schema (iterations 0 and 2)
+    logging.shutdown()
+    lines = [json.loads(line) for line in open(log_path)]
+    assert len(lines) == 2
+    assert "train_acc_loss" in lines[0] and "test_lp_loss" in lines[0]
+    assert "test_correct_expl_preds" in lines[0]
+
+    # checkpoints written (it 0 and 3) + train state
+    assert os.path.isdir(tmp_path / "viscoin0-1")
+    assert os.path.isdir(tmp_path / "viscoin1-1")
+    assert os.path.isdir(tmp_path / "train_state")
+
+
+def test_train_viscoin_resume(tiny, tmp_path):
+    models, generator, gvars, lpips, lparams = tiny
+    train_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG, mode="train")
+    test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG, mode="test")
+    train_loader = DataLoader(train_ds, batch_size=2, num_threads=0)
+    test_loader = DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0)
+
+    cfg = VisCoINTrainingParams(iterations=2, batch_size=2, cd_fid_iteration=-1)
+    train_viscoin(models, generator, gvars, lpips, lparams,
+                  train_loader, test_loader, cfg, checkpoint_dir=str(tmp_path),
+                  eval_every=10, checkpoint_every=1, faithfulness_every=0)
+
+    # resume: starts at the saved step (2 == iterations → no more steps run)
+    out = train_viscoin(models, generator, gvars, lpips, lparams,
+                        train_loader, test_loader, cfg,
+                        checkpoint_dir=str(tmp_path), eval_every=10,
+                        checkpoint_every=10, faithfulness_every=0,
+                        resume_from=str(tmp_path / "train_state"))
+    assert out is models

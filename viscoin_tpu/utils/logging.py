@@ -1,17 +1,30 @@
 """jsonl metric logging (reference: viscoin/utils/logging.py — byte-compatible
-log contract so the `logs` CLI works on files from either implementation)."""
+log contract so the `logs` CLI works on files from either implementation).
+
+Divergence: the reference configures the ROOT logger (logging.basicConfig),
+which would interleave third-party INFO records (orbax, absl) into the jsonl
+file in this stack; we scope a dedicated non-propagating logger instead —
+the file contents stay pure jsonl."""
 
 import logging
 
+_LOGGER_NAME = "viscoin_tpu.metrics"
+
 
 def get_logger():
-    """Returns the current scope logger."""
-    return logging.getLogger(__name__)
+    """Returns the metrics logger."""
+    return logging.getLogger(_LOGGER_NAME)
 
 
 def configure_score_logging(log_path: str):
     """Log bare INFO messages to a file, overwriting it (reference behavior:
     filemode='w', format='%(message)s')."""
-    logging.basicConfig(
-        level=logging.INFO, filemode="w", format="%(message)s", filename=log_path, force=True
-    )
+    logger = logging.getLogger(_LOGGER_NAME)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    for handler in list(logger.handlers):
+        logger.removeHandler(handler)
+        handler.close()
+    handler = logging.FileHandler(log_path, mode="w")
+    handler.setFormatter(logging.Formatter("%(message)s"))
+    logger.addHandler(handler)
