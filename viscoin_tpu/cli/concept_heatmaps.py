@@ -59,7 +59,7 @@ def concept_heatmaps(device, viscoin_pickle_path, dataset):
                 axs[row, col].axis("off")
                 axs[row, col].imshow(overlay(
                     (base * 255).astype(np.uint8),
-                    heatmap_to_img(heatmaps[names[col - 1]][row]),
+                    heatmap_to_img(heatmaps[names[col - 1]][row], size=base.shape[0]),
                 ))
             if row == 0:
                 axs[row, col].set_title(columns[col], fontsize=8)

@@ -48,16 +48,16 @@ def imshow(x, title: str):
     plt.show()
 
 
-def heatmap_to_img(heatmap: np.ndarray) -> np.ndarray:
-    """Heatmap → RGB uint8 (JET colormap, 256², reference: images.py:75-91).
-    Uses cv2 when available, otherwise matplotlib's jet colormap."""
+def heatmap_to_img(heatmap: np.ndarray, size: int = 256) -> np.ndarray:
+    """Heatmap → RGB uint8 (JET colormap, resized to ``size``², reference:
+    images.py:75-91). Uses cv2 when available, otherwise matplotlib's jet."""
     heatmap = np.asarray(heatmap).squeeze()
     try:
         import cv2
 
         norm = cv2.normalize(heatmap, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
         colored = cv2.applyColorMap(norm, cv2.COLORMAP_JET)
-        resized = cv2.resize(colored, (256, 256), interpolation=cv2.INTER_CUBIC)
+        resized = cv2.resize(colored, (size, size), interpolation=cv2.INTER_CUBIC)
         return cv2.cvtColor(resized, cv2.COLOR_BGR2RGB)
     except ImportError:
         from matplotlib import cm
@@ -66,7 +66,7 @@ def heatmap_to_img(heatmap: np.ndarray) -> np.ndarray:
         norm = normalize_image(heatmap.astype(np.float32))
         rgba = cm.jet(norm)
         rgb = (rgba[..., :3] * 255).astype(np.uint8)
-        return np.asarray(Image.fromarray(rgb).resize((256, 256), Image.BICUBIC))
+        return np.asarray(Image.fromarray(rgb).resize((size, size), Image.BICUBIC))
 
 
 def overlay(image: np.ndarray, over: np.ndarray, alpha: float = 0.4) -> np.ndarray:
