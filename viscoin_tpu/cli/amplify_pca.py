@@ -45,7 +45,7 @@ def amplify_pca(viscoin_pickle_path, dataset, device, pca, image):
     multipliers = (0, 1, 5, 10, 15)
     factors = np.asarray(multipliers, np.float32).reshape(1, len(multipliers), 1, 1)
     latent = test_w[index][None, None]  # (1, 1, num_ws, w_dim)
-    amplified = latent + components[:, None] * factors[..., None]  # (pca, M, ws, w)
+    amplified = latent + components[:, None] * factors  # (pca, M, num_ws, w_dim)
 
     @jax.jit
     def gen(gan_vars, w):
