@@ -59,7 +59,8 @@ def amplify_pca(viscoin_pickle_path, dataset, device, pca, image):
         images[i] = from_jax(np.asarray(imgs))
 
     for i in range(int(np.ceil(pca / 5))):
-        imgs = images[i * 5 : (i + 1) * 5]
+        hi = min((i + 1) * 5, pca)
+        imgs = images[i * 5 : hi]
         plot_grid(imgs, "W+ amplification along PCA component",
                   [f"x{f}" for f in multipliers],
-                  [f"Component {j + 1}" for j in range(i * 5, (i + 1) * 5)])
+                  [f"Component {j + 1}" for j in range(i * 5, hi)])
