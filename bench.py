@@ -103,6 +103,38 @@ def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
     }
 
 
+def run_reconstruction(batch: int = 64, iters: int = 20) -> dict:
+    """Inference throughput: concepts → reconstruction (BASELINE.json config 3,
+    'concept amplification at interactive rate')."""
+    from viscoin_tpu.models.bundle import default_models, init_models
+
+    models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
+                            channel_base=16384)
+    models = init_models(models, jax.random.PRNGKey(0), image_size=256)
+    bf = jnp.bfloat16
+    cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(bf) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    variables = {"classifier": cast(models.classifier_vars),
+                 "psi": cast(models.concept_params), "gan": cast(models.gan_vars)}
+
+    @jax.jit
+    def recon(variables, images):
+        _, hidden = models.classifier.apply(variables["classifier"], images, train=False)
+        phi, pp = models.concept_extractor.apply({"params": variables["psi"]},
+                                                 tuple(hidden[-3:]))
+        return models.gan.apply(variables["gan"], phi, pp, noise_mode="const")
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), bf)
+    y = recon(variables, x)
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    t0 = time.time()
+    for _ in range(iters):
+        y = recon(variables, x)
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    dt = (time.time() - t0) / iters
+    return {"recon_images_per_sec": batch / dt, "recon_ms_per_batch": dt * 1000}
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     result = None
@@ -119,6 +151,10 @@ def main():
         print(json.dumps({"metric": "viscoin_train_images_per_sec", "value": 0.0,
                           "unit": "img/s", "vs_baseline": 0.0}))
         return
+    try:
+        result.update(run_reconstruction(batch))
+    except Exception as e:
+        print(f"# reconstruction bench failed: {type(e).__name__}", file=sys.stderr)
     value = round(result["images_per_sec"], 2)
     print(json.dumps({
         "metric": "viscoin_train_images_per_sec",

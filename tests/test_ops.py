@@ -86,6 +86,25 @@ def test_up_down_roundtrip_preserves_dc():
     np.testing.assert_allclose(np.asarray(y)[:, 4:-4, 4:-4], 0.7, rtol=1e-5)
 
 
+def test_upfirdn2d_adjoint():
+    """<y, A x> == <Aᵀ y, x>: the VJP of upfirdn2d is the transpose operator
+    (another upfirdn2d with flipped filter and swapped up/down — derived
+    automatically by XLA's conv transpose rule)."""
+    f = setup_filter([1, 3, 3, 1])
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 6, 6, 2))
+
+    def op(x):
+        return upfirdn2d(x, f, up=2, padding=(2, 1, 2, 1), gain=4.0)
+
+    y = jax.random.normal(jax.random.PRNGKey(1), op(x).shape)
+    _, vjp = jax.vjp(op, x)
+    (atx,) = vjp(y)
+    lhs = float(jnp.sum(op(x) * y))
+    rhs = float(jnp.sum(x * atx))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
 # ----------------------------------- bias_act ------------------------------ #
 
 

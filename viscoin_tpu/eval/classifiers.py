@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from viscoin_tpu.data.transforms import device_preprocess
-from viscoin_tpu.train.losses import softmax_cross_entropy
 
 
 def test_classifier(classifier, classifier_vars, dataloader, verbose: bool = True):

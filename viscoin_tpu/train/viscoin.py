@@ -23,7 +23,6 @@ call stack SURVEY.md §3.1). TPU-first redesign:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 

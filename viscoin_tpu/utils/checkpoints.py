@@ -11,7 +11,6 @@ states) for deterministic resume.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any
