@@ -172,7 +172,7 @@ def make_train_step(
                 b.astype(compute_dtype)
             ).astype(jnp.float32)
 
-        k_fake, k_noise1, k_noise2 = jax.random.split(rng, 3)
+        k_fake, k_noise1, k_noise2, k_drop = jax.random.split(rng, 4)
         B = real.shape[0]
 
         # Synthetic samples through the frozen original GAN
@@ -193,7 +193,7 @@ def make_train_step(
             phi, phi_prime = psi.apply({"params": params_c["concept_extractor"]},
                                        tuple(hidden[-3:]))
             explainer_classes = theta.apply(
-                {"params": params_c["explainer"]}, phi, train=True, rngs={"dropout": rng}
+                {"params": params_c["explainer"]}, phi, train=True, rngs={"dropout": k_drop}
             ).astype(jnp.float32)
 
         # Losses in fp32 (reference: training/viscoin.py:181-209).
