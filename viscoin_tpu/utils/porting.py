@@ -402,14 +402,15 @@ def convert_torch_adapted_mapping(
     :class:`MappingNetworkAdapted` (g1 = coarse..mid from z1, g2 = rest)."""
     g1 = [i for i in range(num_ws) if coarse_layer <= i <= mid_layer]
     g2 = [i for i in range(num_ws) if i < coarse_layer or i > mid_layer]
+    p = f"{prefix}." if prefix else ""
     params: dict = {}
     for name, idxs in (("g1", g1), ("g2", g2)):
         for layer in range(num_layers):
-            w = np.stack([sd[f"{prefix}.s{i}.{layer}.weight"] for i in idxs])
-            b = np.stack([sd[f"{prefix}.s{i}.{layer}.bias"] for i in idxs])
+            w = np.stack([sd[f"{p}s{i}.{layer}.weight"] for i in idxs])
+            b = np.stack([sd[f"{p}s{i}.{layer}.bias"] for i in idxs])
             params[f"{name}_w{layer}"] = w
             params[f"{name}_b{layer}"] = b
-    params["fixed_w_avg"] = sd[f"{prefix}.fixed_w_avg"]
+    params["fixed_w_avg"] = sd[f"{p}fixed_w_avg"]
     return params
 
 
