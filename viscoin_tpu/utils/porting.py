@@ -380,13 +380,15 @@ def convert_torch_generator(sd: dict[str, np.ndarray], img_resolution: int = 256
     mapping: dict = {}
     for i in range(mapping_layers):
         mapping[f"fc{i}"] = _fc(sd, f"mapping.fc{i}")
-    variables = {
+    # w_avg buffer (truncation): default zeros when absent — the collection
+    # must exist for apply().
+    w_dim = sd[f"mapping.fc{mapping_layers - 1}.weight"].shape[0]
+    w_avg = sd.get("mapping.w_avg", np.zeros((w_dim,), np.float32))
+    return {
         "params": {"synthesis": syn["params"], "mapping": mapping},
         "noise": {"synthesis": syn["noise"]},
+        "moving_stats": {"mapping": {"w_avg": w_avg}},
     }
-    if "mapping.w_avg" in sd:
-        variables["moving_stats"] = {"mapping": {"w_avg": sd["mapping.w_avg"]}}
-    return variables
 
 
 def convert_torch_adapted_mapping(
