@@ -106,3 +106,39 @@ def test_inception_converter_keys():
     assert out["params"]["Mixed_5b"]["branch1x1"]["bn"]["scale"].shape == (64,)
     assert out["batch_stats"]["Mixed_5b"]["branch1x1"]["bn"]["mean"].shape == (64,)
     assert "AuxLogits" not in out["params"]
+
+
+def test_port_weights_script_classifier(tmp_path, monkeypatch):
+    """scripts/port_weights.py classifier path: torch checkpoint → orbax."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import subprocess
+    import sys as _sys
+
+    torch.manual_seed(0)
+    config = transformers.ResNetConfig(embedding_size=8, hidden_sizes=[8, 16, 32, 64],
+                                       depths=[1, 1, 1, 1])
+
+    class T(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resnet = transformers.ResNetModel(config)
+            self.linear = torch.nn.Linear(64, 5)
+
+    src = str(tmp_path / "cls.pt")
+    dst = str(tmp_path / "cls-orbax")
+    torch.save(T().state_dict(), src)
+    result = subprocess.run(
+        [_sys.executable, "scripts/port_weights.py", "classifier", src, dst],
+        capture_output=True, text=True, cwd=".",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+
+    from viscoin_tpu.utils.checkpoints import restore_pytree
+
+    variables = restore_pytree(dst)
+    model = Classifier(output_classes=5, embedding_size=8,
+                       hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+    logits, hidden = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+    assert logits.shape == (1, 5) and len(hidden) == 5

@@ -50,11 +50,22 @@ def _convbn(sd: dict, conv_key: str, bn_key: str) -> tuple[dict, dict]:
 
 def convert_torch_classifier(
     sd: dict[str, np.ndarray],
-    depths=(3, 4, 6, 3),
+    depths=None,
 ) -> dict:
     """Convert the reference Classifier state_dict (HF ResNetModel under
     ``resnet.`` + head under ``linear.``, viscoin/models/classifiers.py) into
-    variables for :class:`viscoin_tpu.models.resnet.Classifier`."""
+    variables for :class:`viscoin_tpu.models.resnet.Classifier`.
+    ``depths`` is inferred from the keys when not given."""
+    if depths is None:
+        import re
+
+        counts: dict[int, int] = {}
+        for k in sd:
+            m = re.match(r"resnet\.encoder\.stages\.(\d+)\.layers\.(\d+)\.", k)
+            if m:
+                s, l = int(m.group(1)), int(m.group(2))
+                counts[s] = max(counts.get(s, 0), l + 1)
+        depths = tuple(counts[i] for i in sorted(counts))
     params: dict = {"resnet": {}, "linear": {}}
     stats: dict = {"resnet": {}}
 
