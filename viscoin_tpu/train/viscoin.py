@@ -83,6 +83,13 @@ def make_lr_schedule(base_lr: float, iterations: int) -> optax.Schedule:
 
 def make_optimizers(cfg: VisCoINTrainingParams):
     schedule = make_lr_schedule(cfg.learning_rate, cfg.iterations)
+    if cfg.gradient_accumulation > 1:
+        # Under MultiSteps the inner optimizer's step count advances once per
+        # k micro-steps; rescale so the decay follows the reference's
+        # iteration clock.
+        inner = schedule
+        k = cfg.gradient_accumulation
+        schedule = lambda step: inner(step * k)  # noqa: E731
     tx = optax.adam(schedule)
     gan_tx = optax.adam(schedule)
     if cfg.gradient_accumulation > 1:
@@ -341,6 +348,8 @@ def train_viscoin(
     start = int(jax.device_get(state.step))
     for i in range(start, cfg.iterations):
         images, labels = next(train_iter)
+        while images.shape[0] != cfg.batch_size:  # skip ragged final batches
+            images, labels = next(train_iter)     # (shape stability under jit)
         rng, k = jax.random.split(rng)
         if mesh is not None:
             from viscoin_tpu.parallel.mesh import shard_batch
