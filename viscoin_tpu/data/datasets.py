@@ -163,8 +163,8 @@ class LabeledCUB(CUB_200_2011):
         }
         raw = np.loadtxt(
             os.path.join(self.dataset_path, "attributes", "image_attribute_labels_clean.txt"),
-            dtype=int, delimiter=" ",
-        )
+            dtype=float, delimiter=" ",
+        ).astype(int)  # trailing columns are float confidences/times
         n_images = len(self.labels)
         self.attributes: list[np.ndarray] = [None] * n_images  # type: ignore
         present = raw[raw[:, 2] == 1]

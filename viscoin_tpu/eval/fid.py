@@ -49,7 +49,9 @@ def frechet_distance(mu_real, sigma_real, mu_fake, sigma_fake) -> float:
     from scipy.linalg import sqrtm
 
     m = np.square(mu_fake - mu_real).sum()
-    s, _ = sqrtm(np.dot(sigma_fake, sigma_real), disp=False)
+    s = sqrtm(np.dot(sigma_fake, sigma_real))
+    if isinstance(s, tuple):  # older scipy returns (sqrtm, errest)
+        s = s[0]
     return float(np.real(m + np.trace(sigma_fake + sigma_real - s * 2)))
 
 
