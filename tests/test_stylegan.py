@@ -208,6 +208,18 @@ def test_adapted_params_from_gan_transplant():
     assert img.shape == (1, 16, 16, 3)
 
 
+def test_generator_adapted_low_res256():
+    """low_res256 post-processing: center-crop (384, 512) + resize to 256²
+    (reference: gan.py:66-68,102-103; used by a 512-res baseline model)."""
+    g = GeneratorAdapted(z_dim=4, w_dim=16, img_resolution=512,
+                         channel_base=64, channel_max=8, low_res256=True)
+    phi = jax.random.normal(KEY, (1, 3, 3, 4))
+    pp = jax.random.normal(KEY, (1, 36))
+    v = g.init({"params": KEY}, phi, pp, noise_mode="const")
+    img = g.apply(v, phi, pp, noise_mode="const")
+    assert img.shape == (1, 256, 256, 3)
+
+
 def test_discriminator_forward_and_grads():
     from viscoin_tpu.models.stylegan import Discriminator
 
