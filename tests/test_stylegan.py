@@ -212,7 +212,7 @@ def test_generator_adapted_low_res256():
     """low_res256 post-processing: center-crop (384, 512) + resize to 256²
     (reference: gan.py:66-68,102-103; used by a 512-res baseline model)."""
     g = GeneratorAdapted(z_dim=4, w_dim=16, img_resolution=512,
-                         channel_base=64, channel_max=8, low_res256=True)
+                         channel_base=4096, channel_max=8, low_res256=True)
     phi = jax.random.normal(KEY, (1, 3, 3, 4))
     pp = jax.random.normal(KEY, (1, 36))
     v = g.init({"params": KEY}, phi, pp, noise_mode="const")
