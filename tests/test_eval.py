@@ -150,3 +150,34 @@ def test_test_concept2clip(rng):
     loader = TensorLoader(phi, emb, batch_size=5)
     loss, match = eval_concept2clip(model, params, loader)
     assert np.isfinite(loss) and 0 <= match <= 1
+
+
+def test_test_viscoin_batch_size_invariant(models):
+    """Metrics are exact valid-sample averages: changing the batch size (and
+    hence the final ragged batch) must not change any metric (divergence from
+    the reference's per-batch-mean averaging, PARITY.md)."""
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)),
+                         jnp.zeros((1, IMG, IMG, 3)))["params"]
+    ds = SyntheticDataset(n=10, n_classes=NC, image_size=IMG, mode="test")
+    r4 = eval_viscoin(models, lpips, lparams,
+                      DataLoader(ds, batch_size=4, shuffle=False, num_threads=0))
+    r3 = eval_viscoin(models, lpips, lparams,
+                      DataLoader(ds, batch_size=3, shuffle=False, num_threads=0))
+    for f in ["acc_loss", "cr_loss", "of_loss", "lp_loss", "rec_loss_l1",
+              "rec_loss_l2", "preds_overlap", "correct_preds",
+              "correct_expl_preds"]:
+        np.testing.assert_allclose(getattr(r4, f), getattr(r3, f), rtol=1e-4,
+                                   err_msg=f)
+
+
+def test_normalize_constant_input():
+    """Constant arrays normalize to 0, not NaN (reference bug, fixed here)."""
+    from viscoin_tpu.utils.maths import normalize
+
+    out = normalize(np.full((4, 4), 7.0))
+    assert np.all(out == 0)
+    x = np.stack([np.zeros(5), np.arange(5, dtype=float)])
+    out = normalize(x, axis=1)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[1], np.arange(5) / 4)

@@ -106,3 +106,53 @@ def test_train_viscoin_resume(tiny, tmp_path):
                         checkpoint_every=10, faithfulness_every=0,
                         resume_from=str(tmp_path / "train_state"))
     assert out is models
+
+
+def test_train_viscoin_resume_deterministic(tiny, tmp_path):
+    """Train 4 steps, 'kill', resume to 8 — the final params must be IDENTICAL
+    to an unbroken 8-step run (per-step fold_in rng + (seed, epoch)-pure
+    loader shuffle + loader fast-forward). The reference cannot resume at all
+    (SURVEY.md §5)."""
+    models, generator, gvars, lpips, lparams = tiny
+    snapshot = jax.tree_util.tree_map(np.copy, (models.classifier_vars,
+                                                models.concept_params,
+                                                models.explainer_params,
+                                                models.gan_vars))
+
+    def restore_bundle():
+        (models.classifier_vars, models.concept_params,
+         models.explainer_params, models.gan_vars) = jax.tree_util.tree_map(
+            np.copy, snapshot)
+
+    def loaders():
+        # transform="test" → deterministic host geometry (train-mode random
+        # crops draw host rng state that a resumed process cannot replay).
+        train_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG,
+                                    mode="train", transform="test")
+        test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG, mode="test")
+        return (DataLoader(train_ds, batch_size=2, num_threads=0, seed=7),
+                DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0))
+
+    def run(iterations, ckpt_dir, resume_from=None, checkpoint_every=100):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if resume_from is None:
+            restore_bundle()
+        tl, el = loaders()
+        cfg = VisCoINTrainingParams(iterations=iterations, batch_size=2,
+                                    cd_fid_iteration=-1)
+        out = train_viscoin(models, generator, gvars, lpips, lparams, tl, el,
+                            cfg, checkpoint_dir=ckpt_dir, eval_every=100,
+                            checkpoint_every=checkpoint_every,
+                            faithfulness_every=0, resume_from=resume_from)
+        return jax.tree_util.tree_map(np.asarray, (out.concept_params,
+                                                   out.explainer_params))
+
+    unbroken = run(8, str(tmp_path / "a"))
+    restore_bundle()
+    run(4, str(tmp_path / "b"), checkpoint_every=3)  # saves state at i=3 (step 4)
+    resumed = run(8, str(tmp_path / "b"),
+                  resume_from=str(tmp_path / "b" / "train_state"))
+
+    for a, b in zip(jax.tree_util.tree_leaves(unbroken),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)

@@ -45,9 +45,12 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "the reference is single-device)")
 @click.option("--debug-nans", is_flag=True,
               help="Fail fast on NaNs in any jitted computation")
+@click.option("--resume", "resume_from", type=click.Path(exists=True), default=None,
+              help="Resume viscoin training from a saved train_state directory "
+                   "(deterministic resume — a capability the reference lacks)")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel, debug_nans):
+          data_parallel, debug_nans, resume_from):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -62,7 +65,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                                 batch_size, output_weights)
         case "viscoin":
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
-                           gradient_accumulation_steps, data_parallel)
+                           gradient_accumulation_steps, data_parallel, resume_from)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -138,7 +141,7 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
 
 
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
-                   gradient_accumulation_steps, data_parallel):
+                   gradient_accumulation_steps, data_parallel, resume_from=None):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
@@ -198,4 +201,5 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
     train_viscoin(models, generator, gvars, lpips, lparams,
-                  train_loader, test_loader, params, mesh=mesh)
+                  train_loader, test_loader, params, mesh=mesh,
+                  resume_from=resume_from)

@@ -27,8 +27,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.prefetch = prefetch
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        self._pending_skip = 0
         # Native C++ crop+resize fast path (viscoin_tpu/native): auto-on when
         # the library builds and the dataset exposes decoded raw images.
         if use_native is None:
@@ -47,10 +49,21 @@ class DataLoader:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(idx)
+            # Shuffle order is a pure function of (seed, epoch) so that a
+            # resumed run replays the exact batch sequence (deterministic
+            # resume — skip_batches() relies on this).
+            np.random.default_rng((self.seed, self._epoch)).shuffle(idx)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
             yield idx[start : start + self.batch_size]
+
+    def skip_batches(self, k: int) -> None:
+        """Fast-forward k batches without building them (deterministic
+        resume): whole epochs advance the epoch counter, the remainder is
+        dropped from the next ``__iter__``."""
+        per_epoch = len(self)
+        self._epoch += k // per_epoch
+        self._pending_skip = k % per_epoch
 
     def _make_batch(self, indices, pool: ThreadPoolExecutor | None):
         if self.use_native:
@@ -86,6 +99,9 @@ class DataLoader:
     def __iter__(self):
         self._epoch += 1
         batches = list(self._batch_indices())
+        if self._pending_skip:
+            batches = batches[self._pending_skip:]
+            self._pending_skip = 0
         if self.num_threads <= 0:
             for b in batches:
                 yield self._make_batch(b, None)
@@ -94,13 +110,26 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put that re-checks stop: if the consumer abandons the
+            # iterator mid-epoch, a bare q.put would block forever and leak
+            # this thread (and its pool) per abandoned epoch.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(b, pool))
-            q.put(None)
+                    if not put(self._make_batch(b, pool)):
+                        return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

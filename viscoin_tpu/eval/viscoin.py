@@ -74,22 +74,37 @@ def make_test_step(models: VisCoINModels, lpips_module):
 
         preds = jnp.argmax(classes, axis=1)
         preds_expl = jnp.argmax(explainer_classes, axis=1)
-        nvalid = jnp.maximum(jnp.sum(valid), 1)
 
+        # Per-sample quantities, masked by `valid` and SUMMED — the caller
+        # divides by the total valid count, so metrics are exact over the
+        # dataset and invariant to batch size / final-batch padding (the
+        # reference averages per-batch means, which shifts with batch size —
+        # testing/viscoin.py:110,134-143; divergence documented in PARITY.md).
         logp = jax.nn.log_softmax(classes, axis=-1)
         ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         lpips_d = lpips_module.apply({"params": lpips_params}, rebuilt, x)
 
+        # concept_regularization_loss per sample (losses.py:49-55 semantics).
+        pooled = jnp.max(phi, axis=(1, 2))  # (B, K)
+        norm = jnp.linalg.norm(pooled, axis=1, keepdims=True)
+        normed = pooled / jnp.maximum(norm, 1e-12)
+        cr = jnp.mean(jnp.abs(normed), axis=1) + jnp.mean(jnp.abs(phi), axis=(1, 2, 3))
+
+        # output_fidelity per sample (cross-CE rows, losses.py:26-30).
+        t = jax.nn.softmax(classes, axis=1)
+        of = jnp.sum(-t * jax.nn.log_softmax(explainer_classes, axis=1), axis=1)
+
         out = {
-            "acc_loss": jnp.sum(ce * valid) / nvalid,
-            "cr_loss": L.concept_regularization_loss(phi),
-            "of_loss": L.output_fidelity_loss(classes, explainer_classes),
-            "lp_loss": jnp.sum(lpips_d * valid) / nvalid,
-            "rec_loss_l1": jnp.mean(jnp.abs(rebuilt - x)),
-            "rec_loss_l2": jnp.mean(jnp.square(rebuilt - x)),
+            "acc_loss": jnp.sum(ce * valid),
+            "cr_loss": jnp.sum(cr * valid),
+            "of_loss": jnp.sum(of * valid),
+            "lp_loss": jnp.sum(lpips_d * valid),
+            "rec_loss_l1": jnp.sum(jnp.mean(jnp.abs(rebuilt - x), axis=(1, 2, 3)) * valid),
+            "rec_loss_l2": jnp.sum(jnp.mean(jnp.square(rebuilt - x), axis=(1, 2, 3)) * valid),
             "preds_overlap": jnp.sum((preds == preds_expl) * valid),
             "correct_preds": jnp.sum((preds == labels) * valid),
             "correct_expl_preds": jnp.sum((preds_expl == labels) * valid),
+            "n_valid": jnp.sum(valid),
         }
         return out, rebuilt, x
 
@@ -106,12 +121,14 @@ def test_viscoin(
     verbose: bool = True,
 ) -> TestingResults:
     """Full-ensemble metrics over a test loader (reference:
-    testing/viscoin.py:37-141). NOTE: like the reference, preds_overlap /
-    correct counts are '100 * mean over batches of per-batch sums'."""
+    testing/viscoin.py:37-141). Metrics are exact valid-sample averages
+    (losses) / percentages (prediction stats), invariant to batch size —
+    a documented divergence from the reference's per-batch-mean averaging
+    (PARITY.md)."""
     step = make_test_step(models, lpips_module)
     variables = _bundle_variables(models)
 
-    sums: dict[str, list[float]] = {}
+    sums: dict[str, float] = {}
     stats_real = FeatureStats()
     stats_fake = FeatureStats()
     batch_size = dataloader.batch_size
@@ -126,21 +143,22 @@ def test_viscoin(
         metrics, rebuilt, x = step(variables, lpips_params, jnp.asarray(images),
                                    jnp.asarray(labels), valid)
         for k, v in metrics.items():
-            sums.setdefault(k, []).append(float(v))
+            sums[k] = sums.get(k, 0.0) + float(v)
         if compute_fid and fid_detector is not None:
             stats_fake.append(np.asarray(fid_detector(rebuilt))[:n])
             stats_real.append(np.asarray(fid_detector(x))[:n])
 
+    n_total = max(sums.get("n_valid", 0.0), 1.0)
     results = TestingResults(
-        acc_loss=float(np.mean(sums["acc_loss"])),
-        cr_loss=float(np.mean(sums["cr_loss"])),
-        of_loss=float(np.mean(sums["of_loss"])),
-        lp_loss=float(np.mean(sums["lp_loss"])),
-        rec_loss_l1=float(np.mean(sums["rec_loss_l1"])),
-        rec_loss_l2=float(np.mean(sums["rec_loss_l2"])),
-        preds_overlap=100 * float(np.mean(sums["preds_overlap"])),
-        correct_preds=100 * float(np.mean(sums["correct_preds"])),
-        correct_expl_preds=100 * float(np.mean(sums["correct_expl_preds"])),
+        acc_loss=sums["acc_loss"] / n_total,
+        cr_loss=sums["cr_loss"] / n_total,
+        of_loss=sums["of_loss"] / n_total,
+        lp_loss=sums["lp_loss"] / n_total,
+        rec_loss_l1=sums["rec_loss_l1"] / n_total,
+        rec_loss_l2=sums["rec_loss_l2"] / n_total,
+        preds_overlap=100 * sums["preds_overlap"] / n_total,
+        correct_preds=100 * sums["correct_preds"] / n_total,
+        correct_expl_preds=100 * sums["correct_expl_preds"] / n_total,
     )
     if compute_fid and fid_detector is not None and stats_real.num_items > 0:
         results.fid_score = fid_from_stats(stats_real, stats_fake)

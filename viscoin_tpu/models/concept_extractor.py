@@ -67,15 +67,21 @@ class ConceptExtractor(nn.Module):
             ch, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2, name=name
         )
 
-        x1 = nn.relu(conv(lc, 5, 4, "conv1")(latent_layers[0]))
-        x2 = nn.relu(conv(lc, 3, 2, "conv2")(latent_layers[1]))
-        x3 = nn.relu(conv(lc, 3, 1, "conv3")(latent_layers[2]))
+        # self.perturb taps (no-ops unless a "perturbations" collection is
+        # passed) expose each pre-ReLU conv output for GradCAM: utils/gradcam
+        # differentiates the loss w.r.t. these taps, replacing the reference's
+        # torch backward hooks (viscoin/utils/gradcam.py:9-24) without a
+        # second hand-written copy of this forward.
+        x1 = nn.relu(self.perturb("tap1", conv(lc, 5, 4, "conv1")(latent_layers[0])))
+        x2 = nn.relu(self.perturb("tap2", conv(lc, 3, 2, "conv2")(latent_layers[1])))
+        x3 = nn.relu(self.perturb("tap3", conv(lc, 3, 1, "conv3")(latent_layers[2])))
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # (B, 7, 7, 3*lc)
-        x = nn.relu(conv(3 * lc, 3, 1, "conv4")(x))
+        x = nn.relu(self.perturb("tap4", conv(3 * lc, 3, 1, "conv4")(x)))
 
         # -------- Phi: concept embedding maps -------- #
-        phi = nn.relu(nn.Conv(self.n_concepts, (1, 1), name="conv5")(x))
+        phi = nn.relu(self.perturb("tap5", nn.Conv(self.n_concepts, (1, 1),
+                                                   name="conv5")(x)))
         phi = adaptive_avg_pool(phi, 3)  # (B, 3, 3, K)
 
         # -------- Phi': GAN helper vector -------- #

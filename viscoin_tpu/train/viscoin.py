@@ -319,6 +319,16 @@ def train_viscoin(
     from viscoin_tpu.utils.logging import get_logger
 
     logger = get_logger()
+    # Fail fast instead of spinning: the ragged-batch skip below can only
+    # terminate if the loader produces full batches of cfg.batch_size.
+    loader_bs = getattr(train_loader, "batch_size", cfg.batch_size)
+    if loader_bs != cfg.batch_size:
+        raise ValueError(f"train_loader.batch_size={loader_bs} != "
+                         f"cfg.batch_size={cfg.batch_size}")
+    if hasattr(train_loader, "dataset") and len(train_loader.dataset) < cfg.batch_size:
+        raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
+                         f"batch_size={cfg.batch_size}: no full batch can ever "
+                         "be formed")
     step_fn = make_jitted_train_step(models, generator_gan, lpips_module, cfg, mesh=mesh)
     frozen = make_frozen(models, generator_vars, lpips_params)
     state = create_train_state(models, cfg)
@@ -330,10 +340,9 @@ def train_viscoin(
     if resume_from:
         state = ckpt.restore_train_state(state, resume_from)
 
-    rng = jax.random.PRNGKey(seed)
+    base_rng = jax.random.PRNGKey(seed)
     train_iter = loop_iter(train_loader)
     amplify_fns = None
-    probe_rng = np.random.default_rng(seed)
 
     def sync_models():
         """Copy current trainable params back into the bundle (for eval/ckpt)."""
@@ -346,11 +355,22 @@ def train_viscoin(
         return models
 
     start = int(jax.device_get(state.step))
+    if start and hasattr(train_loader, "skip_batches"):
+        # Replay position: each epoch yields len(loader) batches of which only
+        # the full ones become steps (the ragged final batch, if any, is
+        # skipped below). Fast-forward the loader to the batch the unbroken
+        # run would be on, so a resumed run consumes the identical sequence.
+        steps_per_epoch = len(train_loader.dataset) // cfg.batch_size
+        epochs_done, rem = divmod(start, steps_per_epoch)
+        train_loader.skip_batches(epochs_done * len(train_loader) + rem)
     for i in range(start, cfg.iterations):
         images, labels = next(train_iter)
         while images.shape[0] != cfg.batch_size:  # skip ragged final batches
             images, labels = next(train_iter)     # (shape stability under jit)
-        rng, k = jax.random.split(rng)
+        # Per-iteration key is a pure function of (seed, i): deterministic
+        # resume — a resumed step i draws the same randomness as an unbroken
+        # run's step i.
+        k = jax.random.fold_in(base_rng, i)
         if mesh is not None:
             from viscoin_tpu.parallel.mesh import shard_batch
 
@@ -388,6 +408,7 @@ def train_viscoin(
                 amplify_fns = make_amplify_fns(models)
             ds = test_loader.dataset
             probs = []
+            probe_rng = np.random.default_rng((seed, i))  # resume-deterministic
             from viscoin_tpu.data.transforms import device_preprocess as _prep
 
             for idx in probe_rng.choice(len(ds), min(200, len(ds)), replace=False):

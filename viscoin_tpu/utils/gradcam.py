@@ -32,9 +32,18 @@ def gradcam_heatmap(activation: jax.Array, gradient: jax.Array) -> np.ndarray:
     return np.asarray((maps - mn) / denom)
 
 
+# ConceptExtractor's perturb tap name → reported conv layer name.
+_TAPS = {f"tap{i}": f"conv{i}" for i in range(1, 6)}
+
+
 def concept_extractor_gradcams(models, images: jax.Array, labels: jax.Array):
     """GradCAM heatmaps for conv1..conv5 of the concept extractor w.r.t. the
     explainer cross-entropy (reference: cli/concept_heatmaps.py:33-66).
+
+    Uses the ONE real Psi forward: `ConceptExtractor` exposes each pre-ReLU
+    conv output through ``nn.Module.perturb`` taps; differentiating the loss
+    w.r.t. the zero perturbations yields dL/dA (the functional equivalent of
+    the reference's backward hooks, viscoin/utils/gradcam.py:9-24).
 
     Returns (heatmaps dict name->(B,H,W) numpy, explainer_logits)."""
     from viscoin_tpu.train.losses import softmax_cross_entropy
@@ -44,61 +53,33 @@ def concept_extractor_gradcams(models, images: jax.Array, labels: jax.Array):
         "psi": models.concept_params,
         "theta": models.explainer_params,
     }
-
-    # Re-express Psi's forward with explicit taps so we can differentiate
-    # w.r.t. additive zero-perturbations on each conv output (the functional
-    # equivalent of the reference's backward hooks).
-    psi_params = models.concept_params
-
-    def psi_forward(latents, eps):
-        from flax import linen as nn
-
-        def conv(p, x, stride):
-            kernel, bias = p["kernel"], p["bias"]
-            y = jax.lax.conv_general_dilated(
-                x, kernel, (stride, stride),
-                [((kernel.shape[0]) // 2,) * 2, ((kernel.shape[1]) // 2,) * 2],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + bias
-            return y
-
-        taps = {}
-        x1 = conv(psi_params["conv1"], latents[0], 4) + eps["conv1"]
-        taps["conv1"] = x1
-        x2 = conv(psi_params["conv2"], latents[1], 2) + eps["conv2"]
-        taps["conv2"] = x2
-        x3 = conv(psi_params["conv3"], latents[2], 1) + eps["conv3"]
-        taps["conv3"] = x3
-        x = jnp.concatenate([nn.relu(x1), nn.relu(x2), nn.relu(x3)], axis=-1)
-        x4 = conv(psi_params["conv4"], x, 1) + eps["conv4"]
-        taps["conv4"] = x4
-        x = nn.relu(x4)
-        x5 = conv(psi_params["conv5"], x, 1) + eps["conv5"]
-        taps["conv5"] = x5
-        from viscoin_tpu.models.concept_extractor import adaptive_avg_pool
-
-        phi = adaptive_avg_pool(nn.relu(x5), 3)
-        return phi, taps
+    psi = models.concept_extractor
 
     @jax.jit
     def compute(variables, images, labels):
         _, hidden = models.classifier.apply(variables["classifier"], images, train=False)
         latents = tuple(hidden[-3:])
 
-        # shapes of the taps for zero perturbations
-        _, taps0 = psi_forward(latents, {
-            k: 0.0 for k in ["conv1", "conv2", "conv3", "conv4", "conv5"]
-        })
-        eps0 = jax.tree_util.tree_map(jnp.zeros_like, taps0)
+        # Zero perturbations, shaped by the module itself.
+        _, pert0 = psi.apply({"params": variables["psi"]}, latents,
+                             mutable="perturbations")
+        eps0 = pert0["perturbations"]
 
         def loss_fn(eps):
-            phi, taps = psi_forward(latents, eps)
+            (phi, _), taps = psi.apply(
+                {"params": variables["psi"], "perturbations": eps}, latents,
+                capture_intermediates=lambda mdl, _: mdl.name in _TAPS.values(),
+                mutable=["intermediates"],
+            )
             logits = models.explainer.apply({"params": variables["theta"]}, phi)
-            return softmax_cross_entropy(logits, labels), (taps, logits)
+            acts = {name: taps["intermediates"][name]["__call__"][0]
+                    for name in _TAPS.values()}
+            return softmax_cross_entropy(logits, labels), (acts, logits)
 
-        grads, (taps, logits) = jax.grad(loss_fn, has_aux=True)(eps0)
-        return taps, grads, logits
+        grads, (acts, logits) = jax.grad(loss_fn, has_aux=True)(eps0)
+        return acts, grads, logits
 
-    taps, grads, logits = compute(variables, images, labels)
-    heatmaps = {name: gradcam_heatmap(taps[name], grads[name]) for name in taps}
+    acts, grads, logits = compute(variables, images, labels)
+    heatmaps = {_TAPS[tap]: gradcam_heatmap(acts[_TAPS[tap]], grads[tap])
+                for tap in sorted(_TAPS)}
     return heatmaps, np.asarray(logits)
