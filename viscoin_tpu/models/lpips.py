@@ -69,6 +69,12 @@ class LPIPS(nn.Module):
         shift = jnp.asarray(_SHIFT, x.dtype)
         scale = jnp.asarray(_SCALE, x.dtype)
         net = VGG16Features(name="vgg")
+        # Two separate applies on purpose: the `y` branch is a constant in the
+        # training loss (no gradient path), so keeping it a distinct subgraph
+        # lets autodiff skip its entire VGG backward. A single concatenated
+        # pass was measured 55% slower in fwd+bwd (200 ms vs 129 ms at
+        # 2x128x256x256 bf16 on v5e) because conv VJPs then run over both
+        # halves.
         fx = net((x - shift) / scale)
         fy = net((y - shift) / scale)
 

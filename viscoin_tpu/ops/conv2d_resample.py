@@ -88,21 +88,43 @@ def conv2d_resample(
         px1 += (fw - up) // 2
         py0 += (fh + up - 1) // 2
         py1 += (fh - up) // 2
+        if down > 1:  # down-halo stays in the pre-pad (matches the old chain)
+            px0 += (fw - down + 1) // 2
+            px1 += (fw - down) // 2
+            py0 += (fh - down + 1) // 2
+            py1 += (fh - down) // 2
+
+        # Transposed conv FIRST, FIR after. VALID correlations commute
+        # (corr(corr(z, a), b) == corr(z, conv(a, b))), so this equals the
+        # naive zero-stuff -> FIR -> dense-conv order — but the zero-stuffing
+        # folds into the conv as lhs_dilation (the MXU-native transposed-conv
+        # form), instead of materializing a 2Hx2W tensor and running the dense
+        # conv at the upsampled resolution (4x the necessary MACs, 3/4 of them
+        # against stuffed zeros). Measured on v5e: adapted-generator fwd+bwd
+        # at (128, 256²) dropped 133 ms -> (see BASELINE.md).
+        wc = w if flip_weight else jnp.flip(w, axis=(0, 1))
+        x = lax.conv_general_dilated(
+            x,
+            wc.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((py0, py1 + (up - 1)), (px0, px1 + (up - 1))),
+            lhs_dilation=(up, up),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        x = upfirdn2d(x, f, gain=up**2, flip_filter=flip_filter)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
     if down > 1:
         px0 += (fw - down + 1) // 2
         px1 += (fw - down) // 2
         py0 += (fh - down + 1) // 2
         py1 += (fh - down) // 2
 
-    # Upsample (or just pad) with halo folded in, then dense VALID conv.
-    x = upfirdn2d(
-        x,
-        f if up > 1 else None,
-        up=up,
-        padding=(px0, px1, py0, py1),
-        gain=up**2,
-        flip_filter=flip_filter,
-    )
+    # Pad (via upfirdn2d for the shared padding convention), then dense conv.
+    x = upfirdn2d(x, None, padding=(px0, px1, py0, py1))
     x = conv2d(x, w, groups=groups, flip_weight=flip_weight)
     if down > 1:
         x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
