@@ -2,13 +2,25 @@
 
 The reference repo does not train GANs itself — it consumes pretrained
 pickles produced by the external stylegan2-ada-pytorch trainer (SURVEY.md
-§2.2), whose CUDA `conv2d_gradfix` plugin exists solely so the R1 gradient
-penalty can double-backprop through cuDNN. In JAX, ``jax.grad`` composes to
-any order natively, so the full StyleGAN2 objective — non-saturating
-logistic loss + lazy R1 regularization — is a few lines. Provided so
-generators for new datasets (e.g. the FunnyBirds export,
-data/datasets.py::export_funnybirds_stylegan_zip) can be trained/fine-tuned
-in-framework, data-parallel over a mesh like the VisCoIN step.
+§2.2). This module provides that capability in-framework, TPU-first, with
+the full StyleGAN2 objective:
+
+  * non-saturating logistic losses for G and D,
+  * lazy R1 gradient penalty (every ``r1_interval`` D steps) — the CUDA
+    ``conv2d_gradfix`` plugin exists upstream solely so this can
+    double-backprop through cuDNN; ``jax.grad`` composes natively,
+  * lazy path-length (PPL) regularization (every ``ppl_interval`` G steps) —
+    a SECOND-order gradient (d/dparams of ||d img/d ws||), again free in JAX,
+  * style mixing (probability ``style_mixing_prob``, scalar cutoff per step
+    like the upstream trainer),
+  * ``w_avg`` tracking (beta ``w_avg_beta`` = 0.995, reference
+    README.md:209-223) so truncation works on in-framework-trained
+    generators,
+  * generator weight EMA (half-life ``ema_kimg`` thousand images),
+  * optional data-parallel ``mesh`` like the VisCoIN step.
+
+Both lazy regularizers run under ``lax.cond`` so the off-cadence steps do
+not pay their compute (XLA compiles both branches, executes one).
 """
 
 from __future__ import annotations
@@ -22,14 +34,19 @@ import optax
 from flax import struct
 
 
-
 @dataclass
 class GANTrainingParams:
     learning_rate: float = 2.5e-3
     beta1: float = 0.0
     beta2: float = 0.99
     r1_gamma: float = 1.0  # R1 weight (ADA 'auto' scales with resolution/batch)
-    r1_interval: int = 16  # lazy regularization cadence
+    r1_interval: int = 16  # lazy regularization cadence (D)
+    style_mixing_prob: float = 0.9
+    ppl_weight: float = 2.0
+    ppl_interval: int = 4  # lazy regularization cadence (G)
+    ppl_decay: float = 0.01  # EMA decay of the path-length target
+    w_avg_beta: float = 0.995
+    ema_kimg: float = 10.0  # generator weight EMA half-life (thousand imgs)
     batch_size: int = 16
 
 
@@ -39,6 +56,9 @@ class GANTrainState(struct.PyTreeNode):
     d_params: Any
     g_opt_state: Any
     d_opt_state: Any
+    g_ema_params: Any  # EMA of g_params (the weights upstream pickles ship)
+    w_avg: jax.Array  # tracked mean of mapping outputs (truncation anchor)
+    pl_mean: jax.Array  # EMA of path lengths (PPL target)
 
 
 def create_gan_train_state(generator, discriminator, rng, cfg: GANTrainingParams,
@@ -54,47 +74,105 @@ def create_gan_train_state(generator, discriminator, rng, cfg: GANTrainingParams
         d_params=d_vars["params"],
         g_opt_state=tx.init(g_vars["params"]),
         d_opt_state=tx.init(d_vars["params"]),
+        g_ema_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
+        w_avg=jnp.zeros((generator.w_dim,), jnp.float32),
+        pl_mean=jnp.zeros((), jnp.float32),
     )
+    # Non-param collections ride along on every apply. The moving_stats copy
+    # in here stays at its init value — the LIVE w_avg is tracked in
+    # GANTrainState and written over it by export_generator_vars.
     g_extras = {k: v for k, v in g_vars.items() if k != "params"}
     return state, g_extras
 
 
+def export_generator_vars(state: GANTrainState, g_extras: Any,
+                          ema: bool = True) -> dict:
+    """Full generator variables (EMA weights by default) with the tracked
+    w_avg written into the ``moving_stats`` collection, so truncation and
+    reference-compatible export work on in-framework-trained generators."""
+    params = state.g_ema_params if ema else state.g_params
+    return {
+        **g_extras,
+        "params": params,
+        "moving_stats": {"mapping": {"w_avg": state.w_avg}},
+    }
+
+
 def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
-                        g_extras: Any, preprocess: bool = True):
-    """One jitted alternating G/D step with lazy R1.
+                        g_extras: Any, preprocess: bool = True, mesh=None):
+    """One jitted alternating G/D step with style mixing, lazy R1/PPL,
+    w_avg tracking and generator EMA.
 
-    Returns step(state, images_u8, rng) -> (state, metrics)."""
+    Returns step(state, images_u8, rng) -> (state, metrics). With ``mesh``,
+    the batch shards on the ``data`` axis and state replicates (GSPMD
+    all-reduces the gradients over ICI)."""
     tx = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+    num_ws = generator.synthesis.num_ws if hasattr(generator, "synthesis") else None
 
-    def gen_images(g_params, z, rng):
-        variables = {"params": g_params, **g_extras}
-        return generator.apply(variables, z, noise_mode="random",
+    def map_ws(g_params, z):
+        """(B, z_dim) -> (B, num_ws, w_dim) through the mapping network."""
+        return generator.apply({"params": g_params, **g_extras}, z,
+                               method=lambda g, z: g.mapping(z))
+
+    def synth(g_params, ws, rng):
+        return generator.apply({"params": g_params, **g_extras}, ws,
+                               method=lambda g, ws: g.synthesis(
+                                   ws, noise_mode="random"),
                                rngs={"noise": rng})
 
-    def g_loss_fn(g_params, d_params, z, rng):
-        fake = gen_images(g_params, z, rng)
+    def g_loss_fn(g_params, d_params, z, z_mix, cutoff, k_noise):
+        ws = map_ws(g_params, z)
+        # Style mixing: layers >= cutoff take styles from a second latent
+        # (scalar cutoff per step; cutoff == num_ws means no mixing).
+        ws_mix = map_ws(g_params, z_mix)
+        layer = jnp.arange(ws.shape[1])[None, :, None]
+        ws_used = jnp.where(layer >= cutoff, ws_mix, ws)
+        fake = synth(g_params, ws_used, k_noise)
         logits = discriminator.apply({"params": d_params}, fake)
-        return jnp.mean(jax.nn.softplus(-logits))  # non-saturating G loss
+        # non-saturating G loss; aux: batch-mean mapping output for w_avg
+        return jnp.mean(jax.nn.softplus(-logits)), jnp.mean(ws[:, 0], axis=0)
 
-    def d_loss_fn(d_params, g_params, real, z, rng, r1_weight):
-        fake = gen_images(g_params, z, rng)
+    def ppl_penalty(g_params, z, k_noise, k_pl, pl_mean):
+        """Path-length regularization: ((||d(img·y)/d ws|| - pl_mean)^2).
+        Second-order: the G update differentiates through this jax.grad."""
+        ws = map_ws(g_params, z)
+
+        def proj(ws):
+            img = synth(g_params, ws, k_noise)
+            h, w = img.shape[1], img.shape[2]
+            y = jax.random.normal(k_pl, img.shape) / jnp.sqrt(float(h * w))
+            return jnp.sum(img * y)
+
+        pl_grads = jax.grad(proj)(ws)  # (B, num_ws, w_dim)
+        pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+        new_pl_mean = pl_mean + cfg.ppl_decay * (jnp.mean(pl_lengths) - pl_mean)
+        penalty = jnp.mean(jnp.square(pl_lengths - jax.lax.stop_gradient(new_pl_mean)))
+        scaled = penalty * cfg.ppl_weight * cfg.ppl_interval
+        return scaled, (jnp.mean(pl_lengths), new_pl_mean)
+
+    def d_loss_fn(d_params, g_params, real, z, k_noise, do_r1):
+        ws = map_ws(g_params, z)
+        fake = synth(g_params, ws, k_noise)
         fake_logits = discriminator.apply({"params": d_params}, fake)
         real_logits = discriminator.apply({"params": d_params}, real)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
             jax.nn.softplus(-real_logits))
 
-        # R1 gradient penalty: ||∇_x D(x)||² on reals — second-order autodiff,
-        # no gradfix machinery needed.
-        def d_sum(x):
-            return jnp.sum(discriminator.apply({"params": d_params}, x))
+        # Lazy R1 gradient penalty: only the on-cadence branch executes.
+        def r1_term(real):
+            def d_sum(x):
+                return jnp.sum(discriminator.apply({"params": d_params}, x))
 
-        grad_real = jax.grad(d_sum)(real)
-        r1 = jnp.mean(jnp.sum(jnp.square(grad_real), axis=(1, 2, 3)))
-        loss = loss + r1_weight * (cfg.r1_gamma / 2) * r1 * cfg.r1_interval
+            grad_real = jax.grad(d_sum)(real)
+            return jnp.mean(jnp.sum(jnp.square(grad_real), axis=(1, 2, 3)))
+
+        r1 = jax.lax.cond(do_r1, r1_term, lambda real: jnp.zeros(()), real)
+        loss = loss + (cfg.r1_gamma / 2) * r1 * cfg.r1_interval
         return loss, r1
 
     def step(state: GANTrainState, images_u8, rng):
-        k_flip, kz1, kz2, kn1, kn2 = jax.random.split(rng, 5)
+        (k_flip, kz1, kz1m, kz2, kzp, kn1, kn2, knp, kmix, kcut,
+         kpl) = jax.random.split(rng, 11)
         if preprocess:
             # GANs train on [-1, 1] images
             x = images_u8.astype(jnp.float32) / 127.5 - 1.0
@@ -103,25 +181,71 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         else:
             x = images_u8
         B = x.shape[0]
+        n_ws = num_ws if num_ws is not None else 14
 
-        # G step.
+        # G main step (with style mixing).
         z = jax.random.normal(kz1, (B, generator.z_dim))
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
-            state.g_params, state.d_params, z, kn1)
+        z_mix = jax.random.normal(kz1m, (B, generator.z_dim))
+        mix = jax.random.bernoulli(kmix, cfg.style_mixing_prob)
+        cutoff = jnp.where(mix, jax.random.randint(kcut, (), 1, n_ws), n_ws)
+        (g_loss, ws_mean), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, z, z_mix, cutoff, kn1)
+
+        # Lazy PPL: add its gradient on-cadence (both branches compiled,
+        # one executed).
+        do_ppl = (state.step % cfg.ppl_interval == 0) & (cfg.ppl_weight > 0)
+
+        def ppl_branch(g_params):
+            zp = jax.random.normal(kzp, (B, generator.z_dim))
+            (_, aux), grads = jax.value_and_grad(ppl_penalty, has_aux=True)(
+                g_params, zp, knp, kpl, state.pl_mean)
+            return grads, aux
+
+        def no_ppl(g_params):
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, g_params)
+            return zeros, (jnp.zeros(()), state.pl_mean)
+
+        ppl_grads, (pl_len, new_pl_mean) = jax.lax.cond(
+            do_ppl, ppl_branch, no_ppl, state.g_params)
+        g_grads = jax.tree_util.tree_map(jnp.add, g_grads, ppl_grads)
+
         g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         # D step with lazy R1.
-        r1_weight = (state.step % cfg.r1_interval == 0).astype(jnp.float32)
         z = jax.random.normal(kz2, (B, generator.z_dim))
+        do_r1 = state.step % cfg.r1_interval == 0
         (d_loss, r1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params, g_params, x, z, kn2, r1_weight)
+            state.d_params, g_params, x, z, kn2, do_r1)
         d_updates, d_opt_state = tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        new_state = state.replace(step=state.step + 1, g_params=g_params,
-                                  d_params=d_params, g_opt_state=g_opt_state,
-                                  d_opt_state=d_opt_state)
-        return new_state, {"g_loss": g_loss, "d_loss": d_loss, "r1": r1}
+        # w_avg tracking (reference w_avg_beta=0.995): lerp(batch mean, w_avg).
+        w_avg = ws_mean * (1 - cfg.w_avg_beta) + state.w_avg * cfg.w_avg_beta
+        # Generator weight EMA over `ema_kimg` thousand images.
+        ema_beta = 0.5 ** (B / max(cfg.ema_kimg * 1000.0, 1e-8))
+        g_ema = jax.tree_util.tree_map(
+            lambda e, p: e * ema_beta + p * (1 - ema_beta),
+            state.g_ema_params, g_params)
 
-    return step
+        new_state = state.replace(
+            step=state.step + 1, g_params=g_params, d_params=d_params,
+            g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+            g_ema_params=g_ema, w_avg=w_avg, pl_mean=new_pl_mean)
+        metrics = {"g_loss": g_loss, "d_loss": d_loss, "r1": r1,
+                   "pl_lengths": pl_len, "pl_mean": new_pl_mean}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, batch_sharded, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
