@@ -135,6 +135,64 @@ def run_reconstruction(batch: int = 64, iters: int = 20) -> dict:
     return {"recon_images_per_sec": batch / dt, "recon_ms_per_batch": dt * 1000}
 
 
+def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
+    """Mesh-sharded train step over all local devices: img/s/chip + scaling
+    efficiency vs the single-chip rate. Gated no-op on one device — the day
+    multi-chip hardware appears this measures it with no code changes."""
+    from viscoin_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    n = len(jax.devices())
+    from viscoin_tpu.models.bundle import default_models, init_models
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.train.viscoin import (
+        VisCoINTrainingParams,
+        create_train_state,
+        make_frozen,
+        make_jitted_train_step,
+    )
+
+    models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
+                            channel_base=16384)
+    models = init_models(models, jax.random.PRNGKey(0), image_size=256)
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=256,
+                          channel_base=16384, mapping_layers=2)
+    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)), noise_mode="const"
+    )
+    lpips = LPIPS()
+    lparams = jax.jit(lpips.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3))
+    )["params"]
+
+    batch = batch_per_chip * n
+    mesh = make_mesh(n)
+    cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
+                                cd_fid_iteration=-1, compute_dtype="bfloat16")
+    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh)
+    frozen = replicate(mesh, make_frozen(models, gvars, lparams))
+    state = replicate(mesh, create_train_state(models, cfg))
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
+    labels = rng.integers(0, 200, batch).astype(np.int32)
+    im_sh, lb_sh = shard_batch(mesh, images, labels)
+
+    state, metrics = step(state, frozen, im_sh, lb_sh, jax.random.PRNGKey(0))
+    float(metrics["total_loss"])
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, frozen, im_sh, lb_sh, jax.random.PRNGKey(1 + i))
+    float(metrics["total_loss"])
+    dt = (time.time() - t0) / iters
+    return {
+        "n_chips": n,
+        "batch_per_chip": batch_per_chip,
+        "images_per_sec": batch / dt,
+        "images_per_sec_per_chip": batch / dt / n,
+    }
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     result = None
@@ -155,6 +213,15 @@ def main():
         result.update(run_reconstruction(batch))
     except Exception as e:
         print(f"# reconstruction bench failed: {type(e).__name__}", file=sys.stderr)
+    if len(jax.devices()) > 1:
+        try:
+            mc = run_multichip(result["batch"])
+            result["multichip"] = {k: round(v, 3) for k, v in mc.items()}
+            result["scaling_efficiency"] = round(
+                mc["images_per_sec_per_chip"] / result["images_per_sec"], 3)
+        except Exception as e:
+            print(f"# multichip bench failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
     value = round(result["images_per_sec"], 2)
     print(json.dumps({
         "metric": "viscoin_train_images_per_sec",

@@ -81,22 +81,42 @@ def load_nvlabs_pickle(path: str):
         with open(path, "rb") as f:
             obj = _Unpickler(f).load()
 
-    # Collect tensor dicts from the object / captured metas.
+    # Collect tensor dicts from the object / captured metas, producing
+    # torch state_dict naming ("synthesis.b4.conv1.weight"). With the
+    # persistence shim, submodules unpickle to nested meta dicts
+    # {type, version, module_src, class_name, state}, and torch module state
+    # nests tensors under _parameters/_buffers and children under _modules —
+    # all of these are TRANSPARENT containers that must not contribute a
+    # path segment.
+    _META_KEYS = {"type", "version", "module_src", "class_name", "state"}
+
+    def _is_meta(d) -> bool:
+        return isinstance(d, dict) and "state" in d and len(_META_KEYS & set(d)) >= 2
+
     def tensors_from(o, prefix=""):
         out = {}
-        if hasattr(o, "state_dict"):
+        if isinstance(o, _Stub):
+            o = o.__dict__
+        if hasattr(o, "state_dict") and not isinstance(o, dict):
             try:
-                return {k: v for k, v in o.state_dict().items()}
+                return {f"{prefix}{k}": v for k, v in o.state_dict().items()}
             except Exception:
                 pass
-        if isinstance(o, dict):
-            for k, v in o.items():
-                if hasattr(v, "numpy") and hasattr(v, "shape"):
-                    out[f"{prefix}{k}"] = v
-                elif isinstance(v, dict):
-                    out.update(tensors_from(v, f"{prefix}{k}."))
-                elif hasattr(v, "__dict__"):
-                    out.update(tensors_from(v.__dict__, f"{prefix}{k}."))
+        if _is_meta(o):
+            return tensors_from(o["state"], prefix)
+        if not isinstance(o, dict):
+            o = getattr(o, "__dict__", None)
+            if o is None:
+                return out
+        for k, v in o.items():
+            if k in ("_modules", "_parameters", "_buffers"):
+                out.update(tensors_from(v, prefix))  # transparent container
+            elif hasattr(v, "numpy") and hasattr(v, "shape"):
+                out[f"{prefix}{k}"] = v
+            elif isinstance(v, (dict, _Stub)) or _is_meta(v):
+                out.update(tensors_from(v, f"{prefix}{k}."))
+            elif hasattr(v, "__dict__") and not isinstance(v, (str, bytes)):
+                out.update(tensors_from(v.__dict__, f"{prefix}{k}."))
         return out
 
     result = {}
