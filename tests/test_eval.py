@@ -181,3 +181,21 @@ def test_normalize_constant_input():
     out = normalize(x, axis=1)
     assert np.all(np.isfinite(out))
     np.testing.assert_allclose(out[1], np.arange(5) / 4)
+
+
+def test_test_viscoin_mesh(models):
+    """Data-parallel eval: the mesh-sharded test step matches the
+    single-device metrics on the same loader."""
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)),
+                         jnp.zeros((1, IMG, IMG, 3)))["params"]
+    ds = SyntheticDataset(n=10, n_classes=NC, image_size=IMG, mode="test")
+    loader = DataLoader(ds, batch_size=8, shuffle=False, num_threads=0)
+    r1 = eval_viscoin(models, lpips, lparams, loader)
+    r8 = eval_viscoin(models, lpips, lparams, loader, mesh=make_mesh(8))
+    for f in ["acc_loss", "lp_loss", "rec_loss_l1", "correct_preds",
+              "preds_overlap"]:
+        np.testing.assert_allclose(getattr(r8, f), getattr(r1, f), rtol=1e-4,
+                                   err_msg=f)

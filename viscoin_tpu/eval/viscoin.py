@@ -60,8 +60,12 @@ def _bundle_variables(models: VisCoINModels) -> dict:
     }
 
 
-def make_test_step(models: VisCoINModels, lpips_module):
-    """Jitted per-batch metric computation for test_viscoin."""
+def make_test_step(models: VisCoINModels, lpips_module, mesh=None):
+    """Jitted per-batch metric computation for test_viscoin.
+
+    With ``mesh``, the batch shards over the ``data`` axis and variables
+    replicate (GSPMD reduces the metric sums over ICI) — the in-loop eval
+    scales with the same mesh as the train step."""
 
     def step(variables, lpips_params, images_u8, labels, valid):
         x = device_preprocess(images_u8)
@@ -108,7 +112,15 @@ def make_test_step(models: VisCoINModels, lpips_module):
         }
         return out, rebuilt, x
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(rep, rep, sh, sh, sh),
+                   out_shardings=(rep, sh, sh))
 
 
 def test_viscoin(
@@ -119,13 +131,14 @@ def test_viscoin(
     compute_fid: bool = False,
     fid_detector=None,  # callable (float NHWC images) -> (B, D) features
     verbose: bool = True,
+    mesh=None,
 ) -> TestingResults:
     """Full-ensemble metrics over a test loader (reference:
     testing/viscoin.py:37-141). Metrics are exact valid-sample averages
     (losses) / percentages (prediction stats), invariant to batch size —
     a documented divergence from the reference's per-batch-mean averaging
     (PARITY.md)."""
-    step = make_test_step(models, lpips_module)
+    step = make_test_step(models, lpips_module, mesh=mesh)
     variables = _bundle_variables(models)
 
     sums: dict[str, float] = {}

@@ -399,7 +399,8 @@ def train_viscoin(
             }
             test_results = test_viscoin(models, lpips_module, lpips_params,
                                         test_loader, compute_fid=fid_detector is not None,
-                                        fid_detector=fid_detector, verbose=False)
+                                        fid_detector=fid_detector, verbose=False,
+                                        mesh=mesh)
             train_data.update({f"test_{k_}": v for k_, v in
                                test_results.__dict__.items()})
             logger.info(json.dumps(train_data))
