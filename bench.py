@@ -64,7 +64,7 @@ def build(batch: int, compute_dtype: str = "bfloat16"):
     cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
                                 cd_fid_iteration=-1, compute_dtype=compute_dtype)
     step = make_jitted_train_step(models, generator, lpips, cfg)
-    frozen = make_frozen(models, gvars, lparams)
+    frozen = make_frozen(models, gvars, lparams, compute_dtype=compute_dtype)
     state = create_train_state(models, cfg)
     return step, state, frozen
 

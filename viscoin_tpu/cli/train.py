@@ -48,9 +48,12 @@ from viscoin_tpu.utils.logging import configure_score_logging
 @click.option("--resume", "resume_from", type=click.Path(exists=True), default=None,
               help="Resume viscoin training from a saved train_state directory "
                    "(deterministic resume — a capability the reference lacks)")
+@click.option("--profile-dir", type=click.Path(), default=None,
+              help="Capture a jax.profiler trace of training steps 2-5 "
+                   "(XProf/Perfetto-compatible) into this directory")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel, debug_nans, resume_from):
+          data_parallel, debug_nans, resume_from, profile_dir):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -65,7 +68,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                                 batch_size, output_weights)
         case "viscoin":
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
-                           gradient_accumulation_steps, data_parallel, resume_from)
+                           gradient_accumulation_steps, data_parallel, resume_from,
+                           profile_dir)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -141,7 +145,8 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
 
 
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
-                   gradient_accumulation_steps, data_parallel, resume_from=None):
+                   gradient_accumulation_steps, data_parallel, resume_from=None,
+                   profile_dir=None):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
@@ -199,7 +204,20 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
             jnp.zeros((1, size, size, 3)),
         )["params"]
 
+    # FID in the every-2000-it eval (reference: testing/viscoin.py:84-90 with
+    # the downloaded Inception detector; here a local ported checkpoint).
+    fid_detector = None
+    inception_path = "checkpoints/inception"
+    if os.path.exists(inception_path):
+        from viscoin_tpu.models.inception import make_fid_detector
+
+        fid_detector = make_fid_detector(ckpt.restore_pytree(inception_path))
+    else:
+        click.echo("NOTE: no checkpoints/inception — in-training eval skips FID "
+                   "(port weights with scripts/port_weights.py inception).")
+
     mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
     train_viscoin(models, generator, gvars, lpips, lparams,
                   train_loader, test_loader, params, mesh=mesh,
-                  resume_from=resume_from)
+                  resume_from=resume_from, profile_dir=profile_dir,
+                  fid_detector=fid_detector)

@@ -54,3 +54,22 @@ def pad_to_multiple(batch: np.ndarray, multiple: int):
         return batch, n
     pad = np.repeat(batch[:1], rem, axis=0)
     return np.concatenate([batch, pad], axis=0), n
+
+
+def make_mesh_2d(data: int, model: int, axes: tuple[str, str] = ("data", "model")) -> Mesh:
+    """A 2-D (data, model) mesh. The ``model`` axis spatially shards image /
+    feature-map heights (SURVEY.md §2.4: the sequence-parallel analogue for
+    this vision workload); GSPMD inserts the conv halo exchanges."""
+    devices = jax.devices()
+    n = data * model
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices for a {data}x{model} mesh, "
+                         f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data, model), axes)
+
+
+def image_sharding(mesh: Mesh, batch_axis: str = "data",
+                   spatial_axis: str = "model") -> NamedSharding:
+    """NHWC images sharded over (batch, H): pass as jit in/out_shardings to
+    spatially shard a synthesis/classifier forward over the model axis."""
+    return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))

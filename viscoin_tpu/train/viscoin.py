@@ -123,18 +123,32 @@ def create_train_state(models: VisCoINModels, cfg: VisCoINTrainingParams) -> Tra
     )
 
 
-def make_frozen(models: VisCoINModels, generator_vars: Any, lpips_params: Any) -> dict:
+def make_frozen(models: VisCoINModels, generator_vars: Any, lpips_params: Any,
+                compute_dtype: str | None = None) -> dict:
     """Bundle every non-trained variable as ONE pytree passed into the jitted
     step each call. Weights must be runtime arguments, not closures: closure
     constants get serialized into the HLO payload (slow compiles, and remote
-    compilation services reject multi-hundred-MB programs)."""
-    return {
+    compilation services reject multi-hundred-MB programs).
+
+    With ``compute_dtype`` (e.g. "bfloat16"), the frozen fp32 leaves are cast
+    ONCE here instead of inside every step (they never update, so the
+    per-step cast the trainable masters need is pure waste for these ~90M
+    params; the in-step cast then passes them through untouched)."""
+    frozen = {
         "classifier": models.classifier_vars,
         "synthesis": models.gan_vars["params"]["synthesis"],
         "gan_noise": models.gan_vars.get("noise", {}),
         "generator": generator_vars,
         "lpips": lpips_params,
     }
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        dt = jnp.dtype(compute_dtype)
+        frozen = jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            frozen,
+        )
+    return frozen
 
 
 def make_train_step(
@@ -316,6 +330,7 @@ def train_viscoin(
     faithfulness_every: int = 25_000,
     fid_detector=None,
     resume_from: str | None = None,
+    profile_dir: str | None = None,
 ) -> VisCoINModels:
     """The outer training loop (reference: training/viscoin.py:84-295):
     jitted step + every-2000-it full test eval, every-20k checkpoints, and the
@@ -341,7 +356,8 @@ def train_viscoin(
                          f"batch_size={cfg.batch_size}: no full batch can ever "
                          "be formed")
     step_fn = make_jitted_train_step(models, generator_gan, lpips_module, cfg, mesh=mesh)
-    frozen = make_frozen(models, generator_vars, lpips_params)
+    frozen = make_frozen(models, generator_vars, lpips_params,
+                         compute_dtype=cfg.compute_dtype)
     state = create_train_state(models, cfg)
     if mesh is not None:
         from viscoin_tpu.parallel.mesh import replicate
@@ -382,6 +398,12 @@ def train_viscoin(
         # resume — a resumed step i draws the same randomness as an unbroken
         # run's step i.
         k = jax.random.fold_in(base_rng, i)
+        if profile_dir and i == start + 2:  # skip compile + one warm step
+            try:
+                jax.profiler.start_trace(profile_dir)
+            except Exception as e:  # pragma: no cover - backend dependent
+                print(f"WARNING: profiler unavailable ({type(e).__name__})")
+                profile_dir = None
         if mesh is not None:
             from viscoin_tpu.parallel.mesh import shard_batch
 
@@ -389,6 +411,14 @@ def train_viscoin(
         else:
             images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
         state, metrics = step_fn(state, frozen, images, labels, k)
+        if profile_dir and i == start + 5:
+            float(metrics["total_loss"])  # flush the relay before stopping
+            try:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
+            except Exception:  # pragma: no cover
+                pass
+            profile_dir = None
 
         if i % eval_every == 0:
             sync_models()
