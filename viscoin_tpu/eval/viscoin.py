@@ -112,15 +112,18 @@ def make_test_step(models: VisCoINModels, lpips_module, mesh=None):
         }
         return out, rebuilt, x
 
+    from viscoin_tpu.parallel.mesh import tpu_compiler_options
+
+    copts = tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(step, compiler_options=copts)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
     sh = NamedSharding(mesh, P("data"))
     return jax.jit(step, in_shardings=(rep, rep, sh, sh, sh),
-                   out_shardings=(rep, sh, sh))
+                   out_shardings=(rep, sh, sh), compiler_options=copts)
 
 
 def test_viscoin(

@@ -73,3 +73,15 @@ def image_sharding(mesh: Mesh, batch_axis: str = "data",
     """NHWC images sharded over (batch, H): pass as jit in/out_shardings to
     spatially shard a synthesis/classifier forward over the model axis."""
     return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))
+
+
+def tpu_compiler_options() -> dict | None:
+    """Measured-good server-side XLA compile options for the VisCoIN train
+    step on v5e (BASELINE.md: scoped VMEM 64 MB cut the step 306 -> 292 ms by
+    giving the fusion/tiling passes more on-chip headroom). Returns None off
+    TPU — other backends reject xla_tpu_* options. Client-side XLA_FLAGS
+    cannot set these through a remote-attached (relay) compiler; per-jit
+    ``compiler_options`` ride the compile request instead."""
+    if jax.devices()[0].platform != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}

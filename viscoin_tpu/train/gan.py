@@ -236,8 +236,11 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
                    "pl_lengths": pl_len, "pl_mean": new_pl_mean}
         return new_state, metrics
 
+    from viscoin_tpu.parallel.mesh import tpu_compiler_options
+
+    copts = tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -248,4 +251,5 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         in_shardings=(replicated, batch_sharded, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
+        compiler_options=copts,
     )

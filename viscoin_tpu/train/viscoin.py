@@ -476,10 +476,13 @@ def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
     Returns step(state, frozen, images_u8, labels, rng).
     With ``mesh``: the batch shards on the ``data`` axis, state and frozen
     weights replicate, and GSPMD all-reduces the gradients over ICI."""
+    from viscoin_tpu.parallel.mesh import tpu_compiler_options
+
     step = make_train_step(models, generator_gan, lpips_module, cfg,
                            preprocess=preprocess)
+    copts = tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -490,4 +493,5 @@ def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
         in_shardings=(replicated, replicated, batch_sharded, batch_sharded, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
+        compiler_options=copts,
     )
