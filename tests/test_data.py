@@ -102,14 +102,55 @@ def test_loop_iter():
 
 def test_train_augmentation_not_frozen():
     """Unlike the reference's transformed-tensor cache (cub.py:172-176), we
-    re-augment each access; cache_transformed=True restores parity behavior."""
+    re-augment every EPOCH (crop rng is a pure function of (seed, epoch,
+    index) — thread-safe + resume-exact); cache_transformed=True restores the
+    reference's frozen-augmentation behavior."""
     ds = SyntheticDataset(n=2, n_classes=2, image_size=64)
     a = ds[0][0]
+    ds.set_epoch(1)
     b = ds[0][0]
-    assert not np.array_equal(a, b)
+    c = ds[0][0]
+    assert not np.array_equal(a, b)  # new epoch, new crop
+    np.testing.assert_array_equal(b, c)  # same epoch: deterministic
 
     frozen = SyntheticDataset(n=2, n_classes=2, image_size=64)
     frozen.cache_transformed = True
     a = frozen[0][0]
+    frozen.set_epoch(1)
     b = frozen[0][0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_loader_thread_and_resume_determinism():
+    """Batches are identical regardless of thread count, and augmentation
+    replays exactly for the same (seed, epoch) — the crop rng is a pure
+    function of (seed, epoch, index), never shared mutable state."""
+    from viscoin_tpu.data.datasets import SyntheticDataset
+    from viscoin_tpu.data.loader import DataLoader
+
+    def batches(num_threads, seed=3):
+        ds = SyntheticDataset(n=12, n_classes=4, image_size=32, mode="train",
+                              seed=seed)
+        loader = DataLoader(ds, batch_size=4, seed=seed,
+                            num_threads=num_threads, use_native=False)
+        out = []
+        for _ in range(2):  # two epochs
+            for images, labels in loader:
+                out.append((images.copy(), labels.copy()))
+        return out
+
+    a = batches(0)
+    b = batches(8)
+    assert len(a) == len(b)
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+    # a fresh loader fast-forwarded by one epoch replays epoch 2 exactly
+    ds = SyntheticDataset(n=12, n_classes=4, image_size=32, mode="train", seed=3)
+    loader = DataLoader(ds, batch_size=4, seed=3, num_threads=0, use_native=False)
+    loader.skip_batches(3)  # 3 batches per epoch
+    replay = [(i.copy(), l.copy()) for i, l in loader]
+    for (ia, la), (ib, lb) in zip(a[3:6], replay):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)

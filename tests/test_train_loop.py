@@ -125,10 +125,10 @@ def test_train_viscoin_resume_deterministic(tiny, tmp_path):
             np.copy, snapshot)
 
     def loaders():
-        # transform="test" → deterministic host geometry (train-mode random
-        # crops draw host rng state that a resumed process cannot replay).
+        # full train-mode augmentation: crop geometry is keyed by
+        # (seed, epoch, index), so even the random crops replay across resume
         train_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG,
-                                    mode="train", transform="test")
+                                    mode="train")
         test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG, mode="test")
         return (DataLoader(train_ds, batch_size=2, num_threads=0, seed=7),
                 DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0))

@@ -44,8 +44,20 @@ class ImageDataset:
         self.mode: Mode = mode
         self.transform_mode: Mode = transform if transform is not None else mode
         self._cache: dict[int, np.ndarray] = {}
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+        self._rng = np.random.default_rng(seed)  # kept for API compat
         self.cache_transformed = cache_transformed
+
+    def set_epoch(self, epoch: int) -> None:
+        """Called by the loader each epoch: augmentation randomness is a pure
+        function of (seed, epoch, index), so it is thread-safe under the
+        loader's pool (a shared np.Generator is not) and replays exactly
+        across a resume."""
+        self._epoch = epoch
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self._epoch, index))
 
     # subclasses implement:
     def _load_raw(self, index: int) -> np.ndarray:  # uint8 HWC, original size
@@ -70,7 +82,7 @@ class ImageDataset:
             return self._cache[index], self._label(index)
         img = self.raw_image(index)
         if self.transform_mode == "train":
-            out = host_train_transform(img, self._rng, size=self.out_size)
+            out = host_train_transform(img, self._item_rng(index), size=self.out_size)
         else:
             out = host_test_transform(img, size=self.out_size,
                                       resize_to=int(self.out_size / 0.875))

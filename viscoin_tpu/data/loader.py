@@ -89,8 +89,10 @@ class DataLoader:
         else:
             raws = [ds.raw_image(i) for i in indices]
         raws = [np.ascontiguousarray(r) for r in raws]
+        # crop geometry keyed by (seed, epoch, first index): resume-exact
+        rng = np.random.default_rng((self.seed, self._epoch, int(indices[0])))
         boxes = native.crop_boxes([r.shape[:2] for r in raws], ds.transform_mode,
-                                  ds.out_size, self._rng)
+                                  ds.out_size, rng)
         images = native.transform_batch(raws, boxes, ds.out_size,
                                         n_threads=max(self.num_threads, 1))
         labels = np.asarray([ds._label(int(i)) for i in indices], np.int32)
@@ -98,6 +100,10 @@ class DataLoader:
 
     def __iter__(self):
         self._epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            # augmentation randomness becomes a pure function of
+            # (dataset seed, epoch, index): thread-safe + resume-exact
+            self.dataset.set_epoch(self._epoch)
         batches = list(self._batch_indices())
         if self._pending_skip:
             batches = batches[self._pending_skip:]
