@@ -36,7 +36,9 @@ def gradcam_heatmap(activation: jax.Array, gradient: jax.Array) -> np.ndarray:
 _TAPS = {f"tap{i}": f"conv{i}" for i in range(1, 6)}
 
 
-def concept_extractor_gradcams(models, images: jax.Array, labels: jax.Array):
+def concept_extractor_gradcams(models, images: jax.Array | None = None,
+                               labels: jax.Array | None = None,
+                               latents=None):
     """GradCAM heatmaps for conv1..conv5 of the concept extractor w.r.t. the
     explainer cross-entropy (reference: cli/concept_heatmaps.py:33-66).
 
@@ -45,21 +47,22 @@ def concept_extractor_gradcams(models, images: jax.Array, labels: jax.Array):
     w.r.t. the zero perturbations yields dL/dA (the functional equivalent of
     the reference's backward hooks, viscoin/utils/gradcam.py:9-24).
 
+    Either ``images`` (run through the classifier) or precomputed ``latents``
+    (the classifier's hidden_states[-3:]) must be given.
+
     Returns (heatmaps dict name->(B,H,W) numpy, explainer_logits)."""
     from viscoin_tpu.train.losses import softmax_cross_entropy
 
-    variables = {
-        "classifier": models.classifier_vars,
-        "psi": models.concept_params,
-        "theta": models.explainer_params,
-    }
     psi = models.concept_extractor
+    if latents is None:
+        _, hidden = jax.jit(
+            lambda v, x: models.classifier.apply(v, x, train=False)
+        )(models.classifier_vars, images)
+        latents = tuple(hidden[-3:])
+    variables = {"psi": models.concept_params, "theta": models.explainer_params}
 
     @jax.jit
-    def compute(variables, images, labels):
-        _, hidden = models.classifier.apply(variables["classifier"], images, train=False)
-        latents = tuple(hidden[-3:])
-
+    def compute(variables, latents, labels):
         # Zero perturbations, shaped by the module itself.
         _, pert0 = psi.apply({"params": variables["psi"]}, latents,
                              mutable="perturbations")
@@ -79,7 +82,7 @@ def concept_extractor_gradcams(models, images: jax.Array, labels: jax.Array):
         grads, (acts, logits) = jax.grad(loss_fn, has_aux=True)(eps0)
         return acts, grads, logits
 
-    acts, grads, logits = compute(variables, images, labels)
+    acts, grads, logits = compute(variables, tuple(latents), labels)
     heatmaps = {_TAPS[tap]: gradcam_heatmap(acts[_TAPS[tap]], grads[tap])
                 for tap in sorted(_TAPS)}
     return heatmaps, np.asarray(logits)
