@@ -574,7 +574,10 @@ class MinibatchStdLayer(nn.Module):
         y = y - jnp.mean(y, axis=0, keepdims=True)
         y = jnp.sqrt(jnp.mean(jnp.square(y), axis=0) + 1e-8)
         y = jnp.mean(y, axis=(1, 2, 4))  # (B//G, F)
-        y = jnp.repeat(y, G, axis=0).astype(x.dtype)  # (B, F)
+        # TILE, not interleave: the (G, B//G) reshape above makes group m
+        # contain the samples {m, m + B//G, ...}, so sample s's own stat is
+        # y[s % (B//G)] — exactly what tiling lays out (NVlabs y.repeat(G,..)).
+        y = jnp.tile(y, (G, 1)).astype(x.dtype)  # (B, F)
         y = jnp.broadcast_to(y[:, None, None, :], (B, H, W, F))
         return jnp.concatenate([x, y], axis=-1)
 

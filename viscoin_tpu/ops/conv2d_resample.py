@@ -123,9 +123,16 @@ def conv2d_resample(
         py0 += (fh - down + 1) // 2
         py1 += (fh - down) // 2
 
+        # FIR first, then a STRIDED conv: stride-after-full-conv equals
+        # strided conv by definition, and VALID correlations commute, so this
+        # matches the old pad -> dense conv -> FIR+stride chain exactly while
+        # running the dense conv at 1/down² the MACs (same fix as the up
+        # path; the discriminator pyramid is built from these).
+        x = upfirdn2d(x, f, padding=(px0, px1, py0, py1), flip_filter=flip_filter)
+        x = conv2d(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+        return x
+
     # Pad (via upfirdn2d for the shared padding convention), then dense conv.
     x = upfirdn2d(x, None, padding=(px0, px1, py0, py1))
     x = conv2d(x, w, groups=groups, flip_weight=flip_weight)
-    if down > 1:
-        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
     return x

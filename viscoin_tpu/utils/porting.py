@@ -427,6 +427,44 @@ def convert_torch_adapted_mapping(
     return params
 
 
+def convert_torch_discriminator(sd: dict[str, np.ndarray],
+                                img_resolution: int = 256,
+                                prefix: str = "") -> dict:
+    """Convert a torch StyleGAN2 Discriminator state_dict (NVlabs naming:
+    b{res}.{fromrgb,conv0,conv1,skip}, b4.{conv,fc,out}) into params for
+    :class:`viscoin_tpu.models.stylegan.Discriminator` — needed to fine-tune
+    a pretrained reference GAN in-framework (train/gan.py)."""
+    import math
+
+    p = f"{prefix}." if prefix else ""
+    params: dict = {}
+    resolutions = [2**i for i in range(int(math.log2(img_resolution)), 2, -1)]
+    for i, res in enumerate(resolutions):
+        base = f"{p}b{res}"
+        bp: dict = {}
+        if f"{base}.fromrgb.weight" in sd:
+            bp["fromrgb"] = {"weight": _conv(sd[f"{base}.fromrgb.weight"]),
+                             "bias": sd[f"{base}.fromrgb.bias"]}
+        bp["conv0"] = {"weight": _conv(sd[f"{base}.conv0.weight"]),
+                       "bias": sd[f"{base}.conv0.bias"]}
+        bp["conv1"] = {"weight": _conv(sd[f"{base}.conv1.weight"]),
+                       "bias": sd[f"{base}.conv1.bias"]}
+        bp["skip"] = {"weight": _conv(sd[f"{base}.skip.weight"])}
+        params[f"b{res}"] = bp
+
+    params["conv"] = {"weight": _conv(sd[f"{p}b4.conv.weight"]),
+                      "bias": sd[f"{p}b4.conv.bias"]}
+    # The epilogue FC consumes a flattened 4x4 map: torch flattens NCHW
+    # (channel-major), our Discriminator flattens NHWC — permute the columns.
+    w = sd[f"{p}b4.fc.weight"]
+    c4 = w.shape[1] // 16
+    w = w.reshape(-1, c4, 4, 4).transpose(0, 2, 3, 1).reshape(-1, 16 * c4)
+    params["fc"] = {"weight": w, "bias": sd[f"{p}b4.fc.bias"]}
+    params["out"] = {"weight": sd[f"{p}b4.out.weight"],
+                     "bias": sd[f"{p}b4.out.bias"]}
+    return params
+
+
 def convert_torch_generator_adapted(sd: dict[str, np.ndarray], img_resolution: int = 256,
                                     num_layers: int = 1, coarse_layer: int = 2,
                                     mid_layer: int = 10) -> dict:
