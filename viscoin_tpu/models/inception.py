@@ -108,6 +108,11 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # pytorch-fid quirk: the LAST block (Mixed_7c / FIDInceptionE_2) pools its
+    # branch with a MAX pool, matching the original TF-slim export; Mixed_7b
+    # uses the average pool (count_include_pad=False).
+    branch_pool_kind: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv(320, (1, 1), name="branch1x1")(x)
@@ -120,7 +125,7 @@ class InceptionE(nn.Module):
         bda = BasicConv(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
         bdb = BasicConv(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _pool(x, "avg")
+        bp = _pool(x, self.branch_pool_kind)
         bp = BasicConv(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -147,7 +152,7 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(branch_pool_kind="max", name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # (B, 2048)
 
 
