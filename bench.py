@@ -15,6 +15,7 @@ batch 16 (8 real + 8 GAN) ≈ 128 img/s — see BASELINE.md for the derivation.
 vs_baseline > 3 meets the BASELINE.json north-star (≥3× reference A100 rate).
 """
 
+import functools
 import json
 import os
 import sys
@@ -117,7 +118,9 @@ def run_reconstruction(batch: int = 64, iters: int = 20) -> dict:
     variables = {"classifier": cast(models.classifier_vars),
                  "psi": cast(models.concept_params), "gan": cast(models.gan_vars)}
 
-    @jax.jit
+    from viscoin_tpu.parallel.mesh import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def recon(variables, images):
         _, hidden = models.classifier.apply(variables["classifier"], images, train=False)
         phi, pp = models.concept_extractor.apply({"params": variables["psi"]},

@@ -84,4 +84,7 @@ def tpu_compiler_options() -> dict | None:
     ``compiler_options`` ride the compile request instead."""
     if jax.devices()[0].platform != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_enable_aggressive_broadcast_priority_update": "true",
+    }
