@@ -1,0 +1,109 @@
+"""Profile the flagship train step on TPU and print a per-HLO cost table.
+
+Captures a ``jax.profiler`` trace of the jitted VisCoIN train step (the
+bench.py configuration) through the relay-attached device, then parses the
+``plugins/profile/*/vm.trace.json.gz`` device timeline (per-HLO durations;
+client-side XLA flags cannot reach the relay compiler, but the profiler
+works — CLAUDE.md).
+
+Usage::
+
+    python scripts/profile_step.py [batch] [--out /tmp/vtrace]
+
+Prints the top HLOs by total device time, grouped by fusion/op name, plus a
+rollup by named scope (synthetic_samples / classifier_f / psi_theta /
+gan_reconstruction / classifier_f_rebuilt / lpips ...).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+
+def capture(batch: int, out_dir: str) -> None:
+    import numpy as np
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_comp_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    step, state, frozen = bench.build(batch)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 200, batch).astype(np.int32))
+
+    def sync(m):
+        return float(m["total_loss"])
+
+    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(0))
+    sync(metrics)
+    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(1))
+    sync(metrics)
+
+    jax.profiler.start_trace(out_dir)
+    for i in range(3):
+        state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(2 + i))
+    sync(metrics)
+    jax.profiler.stop_trace()
+
+
+def load_events(out_dir: str) -> list[dict]:
+    paths = sorted(glob.glob(os.path.join(out_dir, "plugins/profile/*/*trace.json.gz")))
+    if not paths:
+        raise SystemExit(f"no trace under {out_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    return data.get("traceEvents", [])
+
+
+def analyze(out_dir: str, steps: int = 3) -> None:
+    events = load_events(out_dir)
+    durs: dict[str, float] = {}
+    args_by_name: dict[str, dict] = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "?")
+        durs[name] = durs.get(name, 0.0) + e["dur"]
+        if name not in args_by_name and e.get("args"):
+            args_by_name[name] = e["args"]
+
+    total = sum(durs.values())
+    print(f"device total: {total / 1e3 / steps:.2f} ms/step over {steps} steps\n")
+
+    print(f"{'ms/step':>9}  {'%':>5}  name")
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"{d / 1e3 / steps:9.3f}  {100 * d / total:5.1f}  {name[:110]}")
+
+    # Rollup by op category.
+    cats: dict[str, float] = {}
+    for name, d in durs.items():
+        m = re.match(r"(%?)([a-zA-Z0-9_-]+?)(\.\d+)?$", name.split(" ")[0])
+        base = m.group(2) if m else name
+        base = re.sub(r"\d+$", "", base)
+        cats[base] = cats.get(base, 0.0) + d
+    print("\nby op family:")
+    for name, d in sorted(cats.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{d / 1e3 / steps:9.3f}  {100 * d / total:5.1f}  {name}")
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 64
+    out = "/tmp/vtrace"
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    if "--analyze-only" not in sys.argv:
+        capture(batch, out)
+    analyze(out)

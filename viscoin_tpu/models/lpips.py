@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from viscoin_tpu.ops.pooling import max_pool_2x2
+
 # LPIPS v0.1 ScalingLayer constants.
 _SHIFT = (-0.030, -0.088, -0.188)
 _SCALE = (0.458, 0.448, 0.450)
