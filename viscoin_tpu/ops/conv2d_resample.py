@@ -43,6 +43,19 @@ def conv2d(
         w = jnp.flip(w, axis=(0, 1))
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    if (
+        w.shape[0] == w.shape[1] == 1
+        and stride == 1
+        and groups == 1
+        and padding in ("VALID", ((0, 0), (0, 0)))
+    ):
+        # 1x1 conv as a plain contraction (ToRGB/FromRGB layers): identical
+        # math, but leaves XLA free to lay out the tiny-channel (RGB) side
+        # without the convolution emitter's relayout.
+        return jax.lax.dot_general(
+            x, w[0, 0].astype(x.dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+        )
     # No preferred_element_type override: a widened output dtype breaks the
     # conv transpose (VJP) dtype matching, and the TPU MXU already
     # accumulates bf16 convolutions in fp32 internally.
