@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from viscoin_tpu.ops import paired_conv as pc
 from viscoin_tpu.ops.pooling import max_pool_2x2
 
 # LPIPS v0.1 ScalingLayer constants.
@@ -39,15 +40,57 @@ _SLICES = (
 LPIPS_CHANNELS = tuple(s[-1] for s in _SLICES)
 
 
+class _Conv3x3Params(nn.Module):
+    """Declares the exact param structure of ``nn.Conv(features, (3, 3))``
+    (HWIO kernel + bias, lecun-normal / zeros init) without binding the
+    compute, so the width-paired path below shares checkpoints with the
+    standard path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class VGG16Features(nn.Module):
-    """VGG16 feature extractor returning the 5 LPIPS slice outputs (NHWC)."""
+    """VGG16 feature extractor returning the 5 LPIPS slice outputs (NHWC).
+
+    ``paired_block1`` runs the two 64-channel 256²-scale convs of block 1 in
+    the width-paired form of :mod:`viscoin_tpu.ops.paired_conv` —
+    algebraically identical, with the conv (and its input-VJP in the LPIPS
+    backward) on the full 128 MXU lanes instead of 64. Param structure is
+    unchanged. **Default off**: measured end-to-end on v5e (BASELINE.md) the
+    relayouts XLA inserts at the paired/standard boundaries (the
+    (B,256,256,3)->(B,256,128,6) "free" reshape alone materialized as an
+    18 ms transpose under tiled batch-minor layouts) cost more than the
+    full-lane convs save. Kept as tested infrastructure."""
+
+    paired_block1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, ...]:
         outs = []
         conv_idx = 0
+        paired = self.paired_block1 and x.shape[2] % 2 == 0
         for slice_idx, channels in enumerate(_SLICES):
-            if slice_idx > 0:
+            if slice_idx == 0 and paired:
+                b, h, w, c = x.shape
+                k0, b0 = _Conv3x3Params(channels[0], name="conv0")(c)
+                k1, b1 = _Conv3x3Params(channels[1], name="conv1")(channels[0])
+                conv_idx = 2
+                y = pc.conv3x3_aligned_to_offset(x.reshape(b, h, w // 2, 2 * c), k0)
+                y = nn.relu(y + jnp.tile(b0, 2).astype(y.dtype))
+                y = y * pc.offset_phantom_mask(y.shape, channels[0], y.dtype)
+                y = pc.conv3x3_offset_to_aligned(y, k1)
+                y = nn.relu(y + jnp.tile(b1, 2).astype(y.dtype))
+                outs.append(y.reshape(b, h, w, channels[1]))
+                x = pc.max_pool_2x2_aligned(y)
+                continue
+            if slice_idx > 0 and not (slice_idx == 1 and paired):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for ch in channels:
                 x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv{conv_idx}")(x)
