@@ -173,7 +173,8 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
     cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
                                 cd_fid_iteration=-1, compute_dtype="bfloat16")
     step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh)
-    frozen = replicate(mesh, make_frozen(models, gvars, lparams))
+    frozen = replicate(mesh, make_frozen(models, gvars, lparams,
+                                        compute_dtype=cfg.compute_dtype))
     state = replicate(mesh, create_train_state(models, cfg))
 
     rng = np.random.default_rng(0)

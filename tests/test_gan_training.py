@@ -26,14 +26,14 @@ def test_gan_train_step(rng):
     cfg = GANTrainingParams(batch_size=4, r1_interval=2)
     state, g_noise = create_gan_train_state(generator, discriminator,
                                             jax.random.PRNGKey(0), cfg, IMG)
-    step = jax.jit(make_gan_train_step(generator, discriminator, cfg, g_noise))
+    step = make_gan_train_step(generator, discriminator, cfg)
 
     images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
     g0 = jax.tree_util.tree_map(np.copy, state.g_params)
     d0 = jax.tree_util.tree_map(np.copy, state.d_params)
 
-    state, m0 = step(state, images, jax.random.PRNGKey(1))  # step 0: R1 on
-    state, m1 = step(state, images, jax.random.PRNGKey(2))  # step 1: R1 off
+    state, m0 = step(state, g_noise, images, jax.random.PRNGKey(1))  # step 0: R1 on
+    state, m1 = step(state, g_noise, images, jax.random.PRNGKey(2))  # step 1: R1 off
 
     for m in (m0, m1):
         for k, v in m.items():
@@ -66,13 +66,13 @@ def test_gan_full_objective(rng):
                             style_mixing_prob=1.0, ema_kimg=0.01)
     state, g_extras = create_gan_train_state(generator, discriminator,
                                              jax.random.PRNGKey(0), cfg, IMG)
-    step = make_gan_train_step(generator, discriminator, cfg, g_extras)
+    step = make_gan_train_step(generator, discriminator, cfg)
     images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
 
     g0 = jax.tree_util.tree_map(np.copy, state.g_params)
     metrics = []
     for i in range(4):
-        state, m = step(state, images, jax.random.PRNGKey(10 + i))
+        state, m = step(state, g_extras, images, jax.random.PRNGKey(10 + i))
         metrics.append({k: float(v) for k, v in m.items()})
 
     for m in metrics:
@@ -114,10 +114,11 @@ def test_gan_step_mesh(rng):
     state, g_extras = create_gan_train_state(generator, discriminator,
                                              jax.random.PRNGKey(0), cfg, IMG)
     mesh = make_mesh(8)
-    step = make_gan_train_step(generator, discriminator, cfg, g_extras, mesh=mesh)
+    step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
     state = replicate(mesh, state)
+    g_extras = replicate(mesh, g_extras)
     images = rng.integers(0, 256, (8, IMG, IMG, 3), dtype=np.uint8)
     im_sh, _ = shard_batch(mesh, images, np.zeros(8, np.int32))
-    state, m = step(state, im_sh, jax.random.PRNGKey(1))
+    state, m = step(state, g_extras, im_sh, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
     assert int(state.step) == 1

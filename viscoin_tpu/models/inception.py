@@ -171,13 +171,18 @@ def fid_preprocess(x: jax.Array) -> jax.Array:
 
 def make_fid_detector(params):
     """Returns a jitted callable (float NHWC images) -> (B, 2048) features,
-    suitable for eval.viscoin.test_viscoin(fid_detector=...)."""
+    suitable for eval.viscoin.test_viscoin(fid_detector=...).
+
+    The ~25M Inception params are a runtime argument of the jitted function,
+    partially applied OUTSIDE the trace — never a closure constant, which
+    would serialize them into the remote-compile HLO payload (CLAUDE.md /
+    make_frozen pattern)."""
     model = InceptionV3Features()
 
     @jax.jit
-    def detect(images):
+    def detect(params, images):
         return model.apply({"params": params["params"],
                             "batch_stats": params["batch_stats"]},
                            fid_preprocess(images))
 
-    return detect
+    return lambda images: detect(params, images)

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from viscoin_tpu.ops import paired_conv as pc
-from viscoin_tpu.ops.pooling import max_pool_2x2
 
 # LPIPS v0.1 ScalingLayer constants.
 _SHIFT = (-0.030, -0.088, -0.188)

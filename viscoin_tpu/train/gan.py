@@ -61,19 +61,33 @@ class GANTrainState(struct.PyTreeNode):
     pl_mean: jax.Array  # EMA of path lengths (PPL target)
 
 
+def _optimizers(cfg: GANTrainingParams):
+    """G/D Adam pair with the upstream lazy-regularization correction: when a
+    regularizer runs every N > 1 steps (its term scaled by N), the NVlabs
+    trainer compensates the optimizer with ``mb_ratio = N / (N + 1)`` —
+    ``lr *= mb_ratio``, ``beta**mb_ratio`` (stylegan2-ada train.py). G uses
+    the PPL cadence, D the R1 cadence."""
+
+    def adam(interval: int):
+        mb = interval / (interval + 1) if interval > 1 else 1.0
+        return optax.adam(cfg.learning_rate * mb, b1=cfg.beta1**mb, b2=cfg.beta2**mb)
+
+    return adam(cfg.ppl_interval), adam(cfg.r1_interval)
+
+
 def create_gan_train_state(generator, discriminator, rng, cfg: GANTrainingParams,
                            image_size: int):
     kg, kd = jax.random.split(rng)
     g_vars = generator.init({"params": kg}, jnp.zeros((1, generator.z_dim)),
                             noise_mode="const")
     d_vars = discriminator.init(kd, jnp.zeros((1, image_size, image_size, 3)))
-    tx = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+    g_tx, d_tx = _optimizers(cfg)
     state = GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_vars["params"],
         d_params=d_vars["params"],
-        g_opt_state=tx.init(g_vars["params"]),
-        d_opt_state=tx.init(d_vars["params"]),
+        g_opt_state=g_tx.init(g_vars["params"]),
+        d_opt_state=d_tx.init(d_vars["params"]),
         g_ema_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
         w_avg=jnp.zeros((generator.w_dim,), jnp.float32),
         pl_mean=jnp.zeros((), jnp.float32),
@@ -99,46 +113,59 @@ def export_generator_vars(state: GANTrainState, g_extras: Any,
 
 
 def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
-                        g_extras: Any, preprocess: bool = True, mesh=None):
+                        preprocess: bool = True, mesh=None):
     """One jitted alternating G/D step with style mixing, lazy R1/PPL,
     w_avg tracking and generator EMA.
 
-    Returns step(state, images_u8, rng) -> (state, metrics). With ``mesh``,
-    the batch shards on the ``data`` axis and state replicates (GSPMD
-    all-reduces the gradients over ICI)."""
-    tx = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
-    num_ws = generator.synthesis.num_ws if hasattr(generator, "synthesis") else None
+    Returns step(state, g_extras, images_u8, rng) -> (state, metrics), where
+    ``g_extras`` is the non-param generator collections pytree from
+    :func:`create_gan_train_state`, passed per call (the make_frozen pattern:
+    buffers must be runtime arguments, not closure constants serialized into
+    the remote-compile HLO payload). With ``mesh``, the batch shards on the
+    ``data`` axis and state replicates (GSPMD all-reduces the gradients over
+    ICI)."""
+    g_tx, d_tx = _optimizers(cfg)
+    # num_ws is a pure function of the (static) resolution. Submodules (and
+    # setup()-derived attributes) only exist on BOUND flax modules, so
+    # generator.synthesis.num_ws is unreachable here — derive it from the
+    # dataclass field instead.
+    from viscoin_tpu.models.stylegan import num_ws_for_resolution
 
-    def map_ws(g_params, z):
+    num_ws = num_ws_for_resolution(generator.img_resolution)
+
+    def map_ws(g_params, g_extras, z):
         """(B, z_dim) -> (B, num_ws, w_dim) through the mapping network."""
         return generator.apply({"params": g_params, **g_extras}, z,
                                method=lambda g, z: g.mapping(z))
 
-    def synth(g_params, ws, rng):
+    def synth(g_params, g_extras, ws, rng):
         return generator.apply({"params": g_params, **g_extras}, ws,
                                method=lambda g, ws: g.synthesis(
                                    ws, noise_mode="random"),
                                rngs={"noise": rng})
 
-    def g_loss_fn(g_params, d_params, z, z_mix, cutoff, k_noise):
-        ws = map_ws(g_params, z)
+    def g_loss_fn(g_params, g_extras, d_params, z, z_mix, cutoff, k_noise):
+        ws = map_ws(g_params, g_extras, z)
         # Style mixing: layers >= cutoff take styles from a second latent
         # (scalar cutoff per step; cutoff == num_ws means no mixing).
-        ws_mix = map_ws(g_params, z_mix)
+        ws_mix = map_ws(g_params, g_extras, z_mix)
         layer = jnp.arange(ws.shape[1])[None, :, None]
         ws_used = jnp.where(layer >= cutoff, ws_mix, ws)
-        fake = synth(g_params, ws_used, k_noise)
+        fake = synth(g_params, g_extras, ws_used, k_noise)
         logits = discriminator.apply({"params": d_params}, fake)
         # non-saturating G loss; aux: batch-mean mapping output for w_avg
         return jnp.mean(jax.nn.softplus(-logits)), jnp.mean(ws[:, 0], axis=0)
 
-    def ppl_penalty(g_params, z, k_noise, k_pl, pl_mean):
+    def ppl_penalty(g_params, g_extras, z, k_noise, k_pl, pl_mean):
         """Path-length regularization: ((||d(img·y)/d ws|| - pl_mean)^2).
-        Second-order: the G update differentiates through this jax.grad."""
-        ws = map_ws(g_params, z)
+        Second-order: the G update differentiates through this jax.grad.
+        NVlabs semantics: the EMA target ``new_pl_mean`` is NOT detached in
+        the penalty (loss.py lerps the buffer with the live batch mean), so
+        the gradient keeps the -2·pl_decay/B cross term."""
+        ws = map_ws(g_params, g_extras, z)
 
         def proj(ws):
-            img = synth(g_params, ws, k_noise)
+            img = synth(g_params, g_extras, ws, k_noise)
             h, w = img.shape[1], img.shape[2]
             y = jax.random.normal(k_pl, img.shape) / jnp.sqrt(float(h * w))
             return jnp.sum(img * y)
@@ -146,13 +173,13 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         pl_grads = jax.grad(proj)(ws)  # (B, num_ws, w_dim)
         pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
         new_pl_mean = pl_mean + cfg.ppl_decay * (jnp.mean(pl_lengths) - pl_mean)
-        penalty = jnp.mean(jnp.square(pl_lengths - jax.lax.stop_gradient(new_pl_mean)))
+        penalty = jnp.mean(jnp.square(pl_lengths - new_pl_mean))
         scaled = penalty * cfg.ppl_weight * cfg.ppl_interval
         return scaled, (jnp.mean(pl_lengths), new_pl_mean)
 
-    def d_loss_fn(d_params, g_params, real, z, k_noise, do_r1):
-        ws = map_ws(g_params, z)
-        fake = synth(g_params, ws, k_noise)
+    def d_loss_fn(d_params, g_params, g_extras, real, z, k_noise, do_r1):
+        ws = map_ws(g_params, g_extras, z)
+        fake = synth(g_params, g_extras, ws, k_noise)
         fake_logits = discriminator.apply({"params": d_params}, fake)
         real_logits = discriminator.apply({"params": d_params}, real)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
@@ -170,7 +197,7 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         loss = loss + (cfg.r1_gamma / 2) * r1 * cfg.r1_interval
         return loss, r1
 
-    def step(state: GANTrainState, images_u8, rng):
+    def step(state: GANTrainState, g_extras, images_u8, rng):
         (k_flip, kz1, kz1m, kz2, kzp, kn1, kn2, knp, kmix, kcut,
          kpl) = jax.random.split(rng, 11)
         if preprocess:
@@ -181,15 +208,14 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         else:
             x = images_u8
         B = x.shape[0]
-        n_ws = num_ws if num_ws is not None else 14
 
         # G main step (with style mixing).
         z = jax.random.normal(kz1, (B, generator.z_dim))
         z_mix = jax.random.normal(kz1m, (B, generator.z_dim))
         mix = jax.random.bernoulli(kmix, cfg.style_mixing_prob)
-        cutoff = jnp.where(mix, jax.random.randint(kcut, (), 1, n_ws), n_ws)
+        cutoff = jnp.where(mix, jax.random.randint(kcut, (), 1, num_ws), num_ws)
         (g_loss, ws_mean), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, state.d_params, z, z_mix, cutoff, kn1)
+            state.g_params, g_extras, state.d_params, z, z_mix, cutoff, kn1)
 
         # Lazy PPL: add its gradient on-cadence (both branches compiled,
         # one executed).
@@ -198,7 +224,7 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         def ppl_branch(g_params):
             zp = jax.random.normal(kzp, (B, generator.z_dim))
             (_, aux), grads = jax.value_and_grad(ppl_penalty, has_aux=True)(
-                g_params, zp, knp, kpl, state.pl_mean)
+                g_params, g_extras, zp, knp, kpl, state.pl_mean)
             return grads, aux
 
         def no_ppl(g_params):
@@ -209,15 +235,15 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
             do_ppl, ppl_branch, no_ppl, state.g_params)
         g_grads = jax.tree_util.tree_map(jnp.add, g_grads, ppl_grads)
 
-        g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         # D step with lazy R1.
         z = jax.random.normal(kz2, (B, generator.z_dim))
         do_r1 = state.step % cfg.r1_interval == 0
         (d_loss, r1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params, g_params, x, z, kn2, do_r1)
-        d_updates, d_opt_state = tx.update(d_grads, state.d_opt_state, state.d_params)
+            state.d_params, g_params, g_extras, x, z, kn2, do_r1)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # w_avg tracking (reference w_avg_beta=0.995): lerp(batch mean, w_avg).
@@ -248,7 +274,7 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
     batch_sharded = NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
-        in_shardings=(replicated, batch_sharded, replicated),
+        in_shardings=(replicated, replicated, batch_sharded, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
         compiler_options=copts,
