@@ -7,20 +7,30 @@ python main.py amplify --concept-threshold 0.2
 ```
 """
 
-import click
+import os
 
-from viscoin_tpu.cli.amplify import amplify
-from viscoin_tpu.cli.amplify_pca import amplify_pca
-from viscoin_tpu.cli.concept_heatmaps import concept_heatmaps
-from viscoin_tpu.cli.concepts import concepts
-from viscoin_tpu.cli.logs import logs
-from viscoin_tpu.cli.test import test
-from viscoin_tpu.cli.to_pickle import to_pickle
-from viscoin_tpu.cli.train import train
+import click
+import jax
+
+# Persistent compile cache for every CLI run: remote (relay) compiles take
+# minutes; cached reloads take seconds. Same location bench.py uses.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/jax_comp_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from viscoin_tpu.cli.amplify import amplify  # noqa: E402
+from viscoin_tpu.cli.amplify_pca import amplify_pca  # noqa: E402
+from viscoin_tpu.cli.concept_heatmaps import concept_heatmaps  # noqa: E402
+from viscoin_tpu.cli.concepts import concepts  # noqa: E402
+from viscoin_tpu.cli.logs import logs  # noqa: E402
+from viscoin_tpu.cli.test import test  # noqa: E402
+from viscoin_tpu.cli.to_pickle import to_pickle  # noqa: E402
+from viscoin_tpu.cli.train import train  # noqa: E402
 
 # Optional Trogon TUI, like the reference (main.py:23-32)
 try:
-    from trogon import tui
+    from trogon import tui  # noqa: E402
 except ImportError:
 
     def tui():

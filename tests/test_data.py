@@ -154,3 +154,39 @@ def test_loader_thread_and_resume_determinism():
     for (ia, la), (ib, lb) in zip(a[3:6], replay):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(la, lb)
+
+
+def test_sharded_loader_partitions_global_batches():
+    """DataLoader(shard=(r, w)): the w rank-slices of every global batch
+    concatenate to exactly the single-loader batch (same (seed, epoch)
+    order), ragged tail dropped; and global_shard_batch == shard_batch of
+    the concatenation on a single process."""
+    ds = SyntheticDataset(n=18, n_classes=3, image_size=16)
+    full = DataLoader(ds, batch_size=8, seed=3, num_threads=0, drop_last=True)
+    shards = [DataLoader(ds, batch_size=8, seed=3, num_threads=0, shard=(r, 4))
+              for r in range(4)]
+
+    full_batches = list(full)
+    shard_batches = [list(s) for s in shards]
+    assert len(full_batches) == 2 and all(len(s) == 2 for s in shard_batches)
+    for i, (imgs, labels) in enumerate(full_batches):
+        cat_imgs = np.concatenate([shard_batches[r][i][0] for r in range(4)])
+        cat_labels = np.concatenate([shard_batches[r][i][1] for r in range(4)])
+        np.testing.assert_array_equal(cat_imgs, imgs)
+        np.testing.assert_array_equal(cat_labels, labels)
+        assert all(shard_batches[r][i][0].shape[0] == 2 for r in range(4))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=6, shard=(0, 4))
+
+    # single-process global_shard_batch places the same values as shard_batch
+    from viscoin_tpu.parallel.mesh import global_shard_batch, make_mesh
+
+    mesh = make_mesh(8)
+    imgs, labels = full_batches[0]
+    gi, gl = global_shard_batch(mesh, imgs, labels)
+    np.testing.assert_array_equal(np.asarray(gi), imgs)
+    np.testing.assert_array_equal(np.asarray(gl), labels)
+    assert gi.sharding.spec == ("data",)

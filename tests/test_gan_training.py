@@ -122,3 +122,26 @@ def test_gan_step_mesh(rng):
     state, m = step(state, g_extras, im_sh, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
     assert int(state.step) == 1
+
+
+def test_lazy_reg_optimizer_adjustment():
+    """Upstream mb_ratio semantics: lr and betas adjusted by N/(N+1) for a
+    regularizer on an every-N cadence (stylegan2-ada train.py)."""
+    from viscoin_tpu.train.gan import _optimizers
+
+    cfg = GANTrainingParams(learning_rate=0.002, beta1=0.0, beta2=0.99,
+                            ppl_interval=4, r1_interval=16)
+    # optax.adam embeds the hyperparams in the transform closure; probe via
+    # a one-step update on a scalar param with unit gradient.
+    import optax
+
+    def first_step_scale(tx):
+        p = {"w": jnp.zeros(())}
+        s = tx.init(p)
+        upd, _ = tx.update({"w": jnp.ones(())}, s, p)
+        return float(upd["w"])
+
+    g_tx, d_tx = _optimizers(cfg)
+    # Adam's first step is -lr * g/(|g|+eps) = -lr regardless of betas.
+    assert abs(first_step_scale(g_tx) + 0.002 * 4 / 5) < 1e-8
+    assert abs(first_step_scale(d_tx) + 0.002 * 16 / 17) < 1e-8

@@ -1,5 +1,11 @@
 """`train` command (reference: viscoin/cli/train.py) — dispatches on
-model_name ∈ {classifier, concept2clip, viscoin}."""
+model_name ∈ {classifier, concept2clip, viscoin, gan}.
+
+``gan`` is a documented extension: the reference trains its GANs with the
+external stylegan2-ada-pytorch train.py and consumes the pickles
+(reference cli/train.py:202-205); here the full StyleGAN2 trainer is
+in-framework (train/gan.py), so the whole pipeline runs without leaving
+the CLI."""
 
 from __future__ import annotations
 
@@ -51,9 +57,15 @@ from viscoin_tpu.utils.logging import configure_score_logging
 @click.option("--profile-dir", type=click.Path(), default=None,
               help="Capture a jax.profiler trace of training steps 2-5 "
                    "(XProf/Perfetto-compatible) into this directory")
+@click.option("--channel-base", type=int, default=16384,
+              help="[gan] StyleGAN2 channel base (ADA 'auto' picks this per "
+                   "resolution; 16384 is the reference 256² config)")
+@click.option("--channel-max", type=int, default=512,
+              help="[gan] StyleGAN2 channel cap per layer")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel, debug_nans, resume_from, profile_dir):
+          data_parallel, debug_nans, resume_from, profile_dir,
+          channel_base, channel_max):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -70,6 +82,9 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
                            profile_dir)
+        case "gan":
+            _train_gan(dataset, learning_rate, epochs, batch_size,
+                       data_parallel, output_weights, channel_base, channel_max)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -142,6 +157,71 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
                                  np.asarray(train_spaces), np.asarray(train_emb),
                                  np.asarray(test_spaces), np.asarray(test_emb), params)
     ckpt.save_pytree(best, output_weights)
+
+
+def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
+               data_parallel, output_weights, channel_base=16384,
+               channel_max=512):
+    """In-framework StyleGAN2 training (the capability the reference
+    outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
+    EMA generator variables to --output-weights in the orbax format that
+    `train viscoin` consumes as the pretrained GAN, plus jsonl metrics."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viscoin_tpu.data.loader import loop_iter
+    from viscoin_tpu.models.stylegan import Discriminator, Generator
+    from viscoin_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from viscoin_tpu.train.gan import (
+        GANTrainingParams,
+        create_gan_train_state,
+        export_generator_vars,
+        make_gan_train_step,
+    )
+    from viscoin_tpu.utils import checkpoints as ckpt
+    from viscoin_tpu.utils.logging import get_logger
+
+    train_loader, _ = get_dataloaders(dataset, batch_size)
+    size = train_loader.dataset.out_size
+    # Reference "original pretrained" GAN config (README.md:209-223):
+    # z=512, w=512, 2 mapping layers, ADA 'auto' channels, w_avg_beta 0.995.
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
+                          channel_base=channel_base, channel_max=channel_max,
+                          mapping_layers=2)
+    discriminator = Discriminator(img_resolution=size, channel_base=channel_base,
+                                  channel_max=channel_max,
+                                  mbstd_group_size=min(4, batch_size))
+    cfg = GANTrainingParams(learning_rate=learning_rate or 2.5e-3,
+                            batch_size=batch_size)
+    configure_score_logging(f"gan_{epochs}.jsonl")
+    logger = get_logger()
+
+    state, g_extras = create_gan_train_state(generator, discriminator,
+                                             jax.random.PRNGKey(0), cfg, size)
+    mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
+    step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
+    if mesh is not None:
+        state = replicate(mesh, state)
+        g_extras = replicate(mesh, g_extras)
+
+    it = loop_iter(train_loader)
+    base_rng = jax.random.PRNGKey(0)
+    for i in range(epochs):
+        images, _ = next(it)
+        while images.shape[0] != batch_size:  # shape stability under jit
+            images, _ = next(it)
+        if mesh is not None:
+            images = shard_batch(mesh, np.asarray(images))
+        state, metrics = step(state, g_extras, jnp.asarray(images),
+                              jax.random.fold_in(base_rng, i))
+        if i % 100 == 0 or i == epochs - 1:
+            logger.info(json.dumps(
+                {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
+
+    ckpt.save_pytree(export_generator_vars(state, g_extras), output_weights)
+    click.echo(f"saved EMA generator variables to {output_weights}")
 
 
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,

@@ -20,7 +20,20 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = False, num_threads: int = 8,
-                 prefetch: int = 2, use_native: bool | None = None):
+                 prefetch: int = 2, use_native: bool | None = None,
+                 shard: tuple[int, int] = (0, 1)):
+        """``shard=(rank, world)`` makes this loader yield rank's slice of
+        every GLOBAL batch (``batch_size`` stays the global size; yielded
+        batches have ``batch_size // world`` rows). The global index order is
+        a pure function of (seed, epoch) and identical on every rank, so the
+        world's slices concatenate to exactly the single-loader batch —
+        feed them to ``parallel.mesh.global_shard_batch`` on a multi-host
+        mesh. Requires world | batch_size."""
+        rank, world = shard
+        if world > 1 and batch_size % world != 0:
+            raise ValueError(f"batch_size={batch_size} not divisible by "
+                             f"shard world size {world}")
+        self.shard = (int(rank), int(world))
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,7 +54,7 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.shard[1] > 1:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
@@ -53,9 +66,15 @@ class DataLoader:
             # resumed run replays the exact batch sequence (deterministic
             # resume — skip_batches() relies on this).
             np.random.default_rng((self.seed, self._epoch)).shuffle(idx)
-        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        rank, world = self.shard
+        # Sharded loaders drop the ragged tail: its per-rank slices would be
+        # unequal (the train loop skips ragged batches anyway).
+        drop = self.drop_last or world > 1
+        end = (n // self.batch_size) * self.batch_size if drop else n
+        per = self.batch_size // world
         for start in range(0, end, self.batch_size):
-            yield idx[start : start + self.batch_size]
+            b = idx[start : start + self.batch_size]
+            yield b[rank * per : (rank + 1) * per] if world > 1 else b
 
     def skip_batches(self, k: int) -> None:
         """Fast-forward k batches without building them (deterministic
@@ -89,10 +108,13 @@ class DataLoader:
         else:
             raws = [ds.raw_image(i) for i in indices]
         raws = [np.ascontiguousarray(r) for r in raws]
-        # crop geometry keyed by (seed, epoch, first index): resume-exact
-        rng = np.random.default_rng((self.seed, self._epoch, int(indices[0])))
+        # crop geometry keyed by (seed, epoch, index) PER IMAGE: resume-exact,
+        # and independent of batch composition — a sharded loader's slice
+        # reproduces exactly the crops of the unsharded batch.
+        rngs = [np.random.default_rng((self.seed, self._epoch, int(i)))
+                for i in indices]
         boxes = native.crop_boxes([r.shape[:2] for r in raws], ds.transform_mode,
-                                  ds.out_size, rng)
+                                  ds.out_size, rngs)
         images = native.transform_batch(raws, boxes, ds.out_size,
                                         n_threads=max(self.num_threads, 1))
         labels = np.asarray([ds._label(int(i)) for i in indices], np.int32)

@@ -93,20 +93,26 @@ def transform_batch(images: list[np.ndarray], boxes: np.ndarray, size: int,
 
 
 def crop_boxes(shapes: list[tuple[int, int]], mode: str, size: int,
-               rng: np.random.Generator) -> np.ndarray:
+               rng) -> np.ndarray:
     """Compute crop boxes for a batch.
 
     train: RandomResizedCrop geometry (viscoin/datasets/transforms.py:16).
     test: Resize(short=size/0.875)+CenterCrop(size) collapsed into ONE
           crop+resize — the center region of side short*0.875 (equivalent
           geometry with a single resampling pass).
+
+    ``rng`` is one np.random.Generator for the whole batch, or a list of
+    per-image Generators (the loader keys each by (seed, epoch, index), so
+    the geometry of image i is independent of which batch — or which
+    data-parallel shard — it lands in).
     """
     from viscoin_tpu.data.transforms import random_resized_crop_params
 
+    rngs = rng if isinstance(rng, (list, tuple)) else [rng] * len(shapes)
     boxes = np.zeros((len(shapes), 4), np.int32)
     for i, (h, w) in enumerate(shapes):
         if mode == "train":
-            boxes[i] = random_resized_crop_params(h, w, rng)
+            boxes[i] = random_resized_crop_params(h, w, rngs[i])
         else:
             side = int(round(min(h, w) * 0.875))
             boxes[i] = ((h - side) // 2, (w - side) // 2, side, side)

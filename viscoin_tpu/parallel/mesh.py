@@ -75,6 +75,30 @@ def image_sharding(mesh: Mesh, batch_axis: str = "data",
     return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))
 
 
+def global_shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+    """Multi-host form of :func:`shard_batch`: each process passes its LOCAL
+    slice of the global batch (loaded with ``DataLoader(shard=(process_index,
+    process_count))``), and the returned ``jax.Array``s are globally sharded
+    along the mesh's batch axis with global shape ``(local_n *
+    process_count, ...)``.
+
+    On a single process this is exactly ``shard_batch`` (and is tested as
+    such); on a multi-host mesh it uses
+    ``jax.make_array_from_process_local_data``, the single-controller JAX
+    idiom for per-host input pipelines — no host ever materializes the full
+    global batch."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, *arrays, axis=axis)
+    sharding = batch_sharding(mesh, axis)
+    out = tuple(
+        jax.make_array_from_process_local_data(
+            sharding, np.asarray(a),
+            (a.shape[0] * jax.process_count(),) + tuple(a.shape[1:]))
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
 def tpu_compiler_options() -> dict | None:
     """Measured-good server-side XLA compile options for the VisCoIN train
     step on v5e (BASELINE.md: scoped VMEM 64 MB cut the step 306 -> 292 ms by
