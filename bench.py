@@ -45,6 +45,7 @@ def build(batch: int, compute_dtype: str = "bfloat16"):
         create_train_state,
         make_frozen,
         make_jitted_train_step,
+        make_sample_fakes,
     )
 
     key = jax.random.PRNGKey(0)
@@ -64,17 +65,28 @@ def build(batch: int, compute_dtype: str = "bfloat16"):
 
     cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
                                 cd_fid_iteration=-1, compute_dtype=compute_dtype)
-    step = make_jitted_train_step(models, generator, lpips, cfg)
+    step = make_jitted_train_step(models, generator, lpips, cfg,
+                                  external_fakes=True)
+    sample_fakes = make_sample_fakes(generator, cfg)
     frozen = make_frozen(models, gvars, lparams, compute_dtype=compute_dtype)
     state = create_train_state(models, cfg)
-    return step, state, frozen
+    return step, sample_fakes, state, frozen
 
 
 def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
-    step, state, frozen = build(batch, compute_dtype)
+    """Times the PRODUCTION iteration: the K-step frozen-GAN presampling
+    (VisCoINTrainingParams.fake_presample_steps) runs inside the timed loop,
+    amortized exactly as the train loop amortizes it."""
+    step, sample_fakes, state, frozen = build(batch, compute_dtype)
+    from viscoin_tpu.train.viscoin import VisCoINTrainingParams as _P
+    K = max(1, _P().fake_presample_steps)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 200, batch).astype(np.int32))
+
+    def fakes_for(i):
+        keys = jnp.stack([jax.random.PRNGKey(i + j) for j in range(K)])
+        return sample_fakes(frozen, keys)
 
     # NOTE: sync via host readback of a value that depends on the full step —
     # block_until_ready alone does not flush remote-attached (relay) devices.
@@ -83,15 +95,21 @@ def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
 
     # Warmup (compile) + 2 steps.
     t0 = time.time()
-    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(0))
+    fake_group = fakes_for(0)
+    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(0),
+                          fake_group[0])
     sync(metrics)
     compile_s = time.time() - t0
-    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(1))
+    state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(1),
+                          fake_group[1])
     sync(metrics)
 
     t0 = time.time()
     for i in range(iters):
-        state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(2 + i))
+        if i % K == 0:
+            fake_group = fakes_for(2 + i)
+        state, metrics = step(state, frozen, images, labels,
+                              jax.random.PRNGKey(2 + i), fake_group[i % K])
     loss = sync(metrics)
     dt = (time.time() - t0) / iters
 
@@ -153,6 +171,7 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
         create_train_state,
         make_frozen,
         make_jitted_train_step,
+        make_sample_fakes,
     )
 
     models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
@@ -172,21 +191,33 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
     mesh = make_mesh(n)
     cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
                                 cd_fid_iteration=-1, compute_dtype="bfloat16")
-    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh)
+    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh,
+                                  external_fakes=True)
+    sample_fakes = make_sample_fakes(generator, cfg, mesh=mesh)
     frozen = replicate(mesh, make_frozen(models, gvars, lparams,
                                         compute_dtype=cfg.compute_dtype))
     state = replicate(mesh, create_train_state(models, cfg))
+    K = max(1, cfg.fake_presample_steps)
+
+    def fakes_for(i):
+        keys = jnp.stack([jax.random.PRNGKey(i + j) for j in range(K)])
+        return sample_fakes(frozen, keys)
 
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
     labels = rng.integers(0, 200, batch).astype(np.int32)
     im_sh, lb_sh = shard_batch(mesh, images, labels)
 
-    state, metrics = step(state, frozen, im_sh, lb_sh, jax.random.PRNGKey(0))
+    fake_group = fakes_for(0)
+    state, metrics = step(state, frozen, im_sh, lb_sh, jax.random.PRNGKey(0),
+                          fake_group[0])
     float(metrics["total_loss"])
     t0 = time.time()
     for i in range(iters):
-        state, metrics = step(state, frozen, im_sh, lb_sh, jax.random.PRNGKey(1 + i))
+        if i % K == 0:
+            fake_group = fakes_for(1 + i)
+        state, metrics = step(state, frozen, im_sh, lb_sh,
+                              jax.random.PRNGKey(1 + i), fake_group[i % K])
     float(metrics["total_loss"])
     dt = (time.time() - t0) / iters
     return {

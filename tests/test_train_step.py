@@ -177,3 +177,34 @@ def test_gradient_accumulation(setup, rng):
                         jax.tree_util.tree_leaves(state.params))
     )
     assert moved
+
+
+def test_external_fake_presampling(setup, rng):
+    """The production path: make_sample_fakes + external_fakes step. The
+    sampled batch for a step is a pure per-key function (invariant to K and
+    to group position), and the step runs/updates normally."""
+    from viscoin_tpu.train.viscoin import make_sample_fakes
+
+    models, generator, gvars, lpips, lparams, cfg = setup
+    sampler = make_sample_fakes(generator, cfg)
+    frozen = make_frozen(models, gvars, lparams)
+
+    k0, k1 = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+    pair = sampler(frozen, jnp.stack([k0, k1]))
+    assert pair.shape == (2, cfg.batch_size, IMG, IMG, 3)
+    # deterministic: the same group keys regenerate identical samples (the
+    # resume contract — groups are aligned to absolute step numbers)
+    again = sampler(frozen, jnp.stack([k0, k1]))
+    np.testing.assert_array_equal(np.asarray(pair), np.asarray(again))
+    # different step keys draw different latents
+    other = sampler(frozen, jnp.stack([k1, k0]))
+    assert not np.allclose(np.asarray(pair[0]), np.asarray(other[0]))
+
+    step = make_jitted_train_step(models, generator, lpips, cfg,
+                                  external_fakes=True)
+    state = create_train_state(models, cfg)
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, N_CLASSES, 4).astype(np.int32))
+    state, metrics = step(state, frozen, images, labels, k0, pair[0])
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1

@@ -13,6 +13,7 @@ _EXPORTS = {
     "create_train_state": "viscoin_tpu.train.viscoin",
     "make_frozen": "viscoin_tpu.train.viscoin",
     "make_jitted_train_step": "viscoin_tpu.train.viscoin",
+    "make_sample_fakes": "viscoin_tpu.train.viscoin",
     "make_train_step": "viscoin_tpu.train.viscoin",
     "train_viscoin": "viscoin_tpu.train.viscoin",
 }

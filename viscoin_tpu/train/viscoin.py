@@ -65,6 +65,17 @@ class VisCoINTrainingParams(IgnoreNone):
     # master params + fp32 loss math). The reference is fp32-only.
     compute_dtype: str = "float32"
 
+    # TPU-first addition: draw the frozen-GAN synthetic batches for K
+    # consecutive steps in ONE jitted sampler call (K*batch_size images).
+    # At the flagship batch 64, the in-step batch-64 generation gets
+    # lane-starved XLA layouts (profiled 23.5 ms/step at ~69 TF/s vs ~145
+    # for the same convs at batch >= 128); presampling runs them at K*64
+    # and amortizes the sampler launch. Per-step z is drawn from each
+    # step's own fold_in key; resume replays exactly because sampling
+    # groups are aligned to absolute step numbers (see make_sample_fakes).
+    # 1 = sample every step (still via the external sampler).
+    fake_presample_steps: int = 2
+
 
 class TrainState(struct.PyTreeNode):
     """Device-resident training state."""
@@ -151,18 +162,88 @@ def make_frozen(models: VisCoINModels, generator_vars: Any, lpips_params: Any,
     return frozen
 
 
+def make_cast(compute_dtype):
+    dt = jnp.dtype(compute_dtype)
+
+    def cast(tree):
+        if dt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    return cast
+
+
+def make_sample_fakes(generator_gan, cfg: VisCoINTrainingParams, mesh=None):
+    """Jitted sampler for the frozen original GAN's synthetic batches
+    (reference: training/utils.py:26-39 — but batched over K steps).
+
+    Returns sample(frozen, rngs (K,) stacked per-step keys) -> fakes
+    (K, batch_size, H, W, 3) in the compute dtype. Row k's LATENTS are drawn
+    from rngs[k] exactly like the in-step path (same split) — a pure per-step
+    function, so a resumed run regenerates identical z. The synthesis runs
+    ONCE on the flattened K*batch (full-lane conv layouts) with per-pixel
+    noise from a single rbg stream keyed by the group's first key (rbg is the
+    cheap TPU-native generator but is not stable under vmap, so per-row noise
+    keys would force threefry — measured ~2x slower sampler); the noise
+    stream therefore depends on the group, which resume reproduces because
+    groups are aligned to absolute step numbers (train_viscoin)."""
+    from viscoin_tpu.parallel.mesh import tpu_compiler_options
+
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    cast = make_cast(compute_dtype)
+
+    def sample(frozen, rngs):
+        generator_vars = cast(frozen["generator"])
+
+        def z_of(rng):
+            k_fake, _, _, _ = jax.random.split(rng, 4)
+            return jax.random.normal(
+                k_fake, (cfg.batch_size, generator_gan.z_dim), compute_dtype)
+
+        K = rngs.shape[0]
+        z = jax.vmap(z_of)(rngs).reshape(K * cfg.batch_size, generator_gan.z_dim)
+        k_noise = _as_rbg(jax.random.split(rngs[0], 4)[1])
+        fakes = generator_gan.apply(generator_vars, z, noise_mode="random",
+                                    rngs={"noise": k_noise})
+        return fakes.astype(compute_dtype).reshape(
+            K, cfg.batch_size, *fakes.shape[1:])
+
+    copts = tpu_compiler_options()
+    if mesh is None:
+        return jax.jit(sample, compiler_options=copts)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        sample,
+        in_shardings=(replicated, replicated),
+        out_shardings=NamedSharding(mesh, P(None, "data")),
+        compiler_options=copts,
+    )
+
+
 def make_train_step(
     models: VisCoINModels,
     generator_gan,  # stylegan.Generator module (original, frozen)
     lpips_module,
     cfg: VisCoINTrainingParams,
     preprocess: bool = True,
+    external_fakes: bool = False,
 ):
     """Build the train step.
 
     Returns step(state, frozen, images_u8 (B,H,W,3) uint8, labels (B,), rng)
     -> (state, metrics dict), where ``frozen`` is the pytree from
-    :func:`make_frozen` (device-resident; passing it per call is free)."""
+    :func:`make_frozen` (device-resident; passing it per call is free).
+    With ``external_fakes`` the step takes an extra ``fake`` argument
+    ((B,H,W,3), from :func:`make_sample_fakes`) instead of running the
+    frozen original GAN inside the step (see
+    ``VisCoINTrainingParams.fake_presample_steps``)."""
 
     classifier = models.classifier
     psi = models.concept_extractor
@@ -171,17 +252,9 @@ def make_train_step(
     tx, gan_tx = make_optimizers(cfg)
 
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+    cast = make_cast(compute_dtype)
 
-    def cast(tree):
-        if compute_dtype == jnp.float32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            tree,
-        )
-
-    def loss_fn(params, frozen, real, labels, step, rng):
+    def loss_fn(params, frozen, real, labels, step, rng, fake):
         # Mixed precision: cast weights + activations to the compute dtype at
         # the jit boundary (differentiable; masters stay fp32). Losses are
         # computed in fp32.
@@ -207,12 +280,16 @@ def make_train_step(
         k_noise1, k_noise2 = (_as_rbg(k) for k in (k_noise1, k_noise2))
         B = real.shape[0]
 
-        # Synthetic samples through the frozen original GAN
-        # (reference: training/utils.py:26-39).
-        with jax.named_scope("synthetic_samples"):
-            z = jax.random.normal(k_fake, (B, generator_gan.z_dim), compute_dtype)
-            fake = generator_gan.apply(generator_vars, z, noise_mode="random",
-                                       rngs={"noise": k_noise1}).astype(compute_dtype)
+        if fake is None:
+            # Synthetic samples through the frozen original GAN
+            # (reference: training/utils.py:26-39).
+            with jax.named_scope("synthetic_samples"):
+                z = jax.random.normal(k_fake, (B, generator_gan.z_dim), compute_dtype)
+                fake = generator_gan.apply(
+                    generator_vars, z, noise_mode="random",
+                    rngs={"noise": k_noise1}).astype(compute_dtype)
+        else:
+            fake = fake.astype(compute_dtype)
         all_images = jnp.concatenate([real, fake], axis=0)
 
         # f(x): frozen classifier (eval mode — running BN stats).
@@ -274,7 +351,7 @@ def make_train_step(
         }
         return total, metrics
 
-    def train_step(state: TrainState, frozen, images_u8, labels, rng):
+    def train_step(state: TrainState, frozen, images_u8, labels, rng, fake=None):
         if preprocess:
             k_flip, rng = jax.random.split(rng)
             flips = jax.random.bernoulli(k_flip, 0.5, (images_u8.shape[0],))
@@ -283,7 +360,7 @@ def make_train_step(
             real = images_u8
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, frozen, real, labels, state.step, rng
+            state.params, frozen, real, labels, state.step, rng, fake
         )
 
         psi_theta = {"concept_extractor": state.params["concept_extractor"],
@@ -310,7 +387,16 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    if external_fakes:
+        def train_step_ext(state, frozen, images_u8, labels, rng, fake):
+            return train_step(state, frozen, images_u8, labels, rng, fake)
+
+        return train_step_ext
+
+    def train_step_int(state, frozen, images_u8, labels, rng):
+        return train_step(state, frozen, images_u8, labels, rng, None)
+
+    return train_step_int
 
 
 def train_viscoin(
@@ -355,7 +441,10 @@ def train_viscoin(
         raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
                          f"batch_size={cfg.batch_size}: no full batch can ever "
                          "be formed")
-    step_fn = make_jitted_train_step(models, generator_gan, lpips_module, cfg, mesh=mesh)
+    K = max(1, cfg.fake_presample_steps)
+    step_fn = make_jitted_train_step(models, generator_gan, lpips_module, cfg,
+                                     mesh=mesh, external_fakes=True)
+    sample_fakes = make_sample_fakes(generator_gan, cfg, mesh=mesh)
     frozen = make_frozen(models, generator_vars, lpips_params,
                          compute_dtype=cfg.compute_dtype)
     state = create_train_state(models, cfg)
@@ -370,6 +459,7 @@ def train_viscoin(
     base_rng = jax.random.PRNGKey(seed)
     train_iter = loop_iter(train_loader)
     amplify_fns = None
+    fake_group, fake_group_start = None, -1
 
     def sync_models():
         """Copy current trainable params back into the bundle (for eval/ckpt)."""
@@ -398,6 +488,15 @@ def train_viscoin(
         # resume — a resumed step i draws the same randomness as an unbroken
         # run's step i.
         k = jax.random.fold_in(base_rng, i)
+        # Presampled frozen-GAN batches for K steps at a time (group aligned
+        # to ABSOLUTE step numbers and keyed per step, so any resume point
+        # regenerates the identical samples).
+        group = (i // K) * K
+        if fake_group_start != group:
+            keys = jnp.stack([jax.random.fold_in(base_rng, j)
+                              for j in range(group, group + K)])
+            fake_group = sample_fakes(frozen, keys)
+            fake_group_start = group
         if profile_dir and i == start + 2:  # skip compile + one warm step
             try:
                 jax.profiler.start_trace(profile_dir)
@@ -410,7 +509,8 @@ def train_viscoin(
             images, labels = shard_batch(mesh, images, labels.astype("int32"))
         else:
             images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
-        state, metrics = step_fn(state, frozen, images, labels, k)
+        state, metrics = step_fn(state, frozen, images, labels, k,
+                                 fake_group[i - group])
         if profile_dir and i == start + 5:
             float(metrics["total_loss"])  # flush the relay before stopping
             try:
@@ -470,16 +570,18 @@ def train_viscoin(
 
 
 def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
-                           mesh=None, preprocess: bool = True):
+                           mesh=None, preprocess: bool = True,
+                           external_fakes: bool = False):
     """Jit (and optionally shard over a data-parallel mesh) the train step.
 
-    Returns step(state, frozen, images_u8, labels, rng).
+    Returns step(state, frozen, images_u8, labels, rng[, fake]) — ``fake``
+    only with ``external_fakes`` (see :func:`make_sample_fakes`).
     With ``mesh``: the batch shards on the ``data`` axis, state and frozen
     weights replicate, and GSPMD all-reduces the gradients over ICI."""
     from viscoin_tpu.parallel.mesh import tpu_compiler_options
 
     step = make_train_step(models, generator_gan, lpips_module, cfg,
-                           preprocess=preprocess)
+                           preprocess=preprocess, external_fakes=external_fakes)
     copts = tpu_compiler_options()
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
@@ -488,9 +590,12 @@ def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
+    in_sh = [replicated, replicated, batch_sharded, batch_sharded, replicated]
+    if external_fakes:
+        in_sh.append(batch_sharded)
     return jax.jit(
         step,
-        in_shardings=(replicated, replicated, batch_sharded, batch_sharded, replicated),
+        in_shardings=tuple(in_sh),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
         compiler_options=copts,
