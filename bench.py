@@ -70,23 +70,22 @@ def build(batch: int, compute_dtype: str = "bfloat16"):
     sample_fakes = make_sample_fakes(generator, cfg)
     frozen = make_frozen(models, gvars, lparams, compute_dtype=compute_dtype)
     state = create_train_state(models, cfg)
-    return step, sample_fakes, state, frozen
+    return step, sample_fakes, state, frozen, cfg
 
 
 def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
     """Times the PRODUCTION iteration: the K-step frozen-GAN presampling
     (VisCoINTrainingParams.fake_presample_steps) runs inside the timed loop,
     amortized exactly as the train loop amortizes it."""
-    step, sample_fakes, state, frozen = build(batch, compute_dtype)
-    from viscoin_tpu.train.viscoin import VisCoINTrainingParams as _P
-    K = max(1, _P().fake_presample_steps)
+    step, sample_fakes, state, frozen, cfg = build(batch, compute_dtype)
+    from viscoin_tpu.train.viscoin import fake_sample_keys
+    K = max(1, cfg.fake_presample_steps)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 200, batch).astype(np.int32))
 
     def fakes_for(i):
-        keys = jnp.stack([jax.random.PRNGKey(i + j) for j in range(K)])
-        return sample_fakes(frozen, keys)
+        return sample_fakes(frozen, fake_sample_keys(jax.random.PRNGKey(0), i, K))
 
     # NOTE: sync via host readback of a value that depends on the full step —
     # block_until_ready alone does not flush remote-attached (relay) devices.
@@ -101,7 +100,7 @@ def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
     sync(metrics)
     compile_s = time.time() - t0
     state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(1),
-                          fake_group[1])
+                          fake_group[1 % K])
     sync(metrics)
 
     t0 = time.time()
@@ -198,10 +197,10 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
                                         compute_dtype=cfg.compute_dtype))
     state = replicate(mesh, create_train_state(models, cfg))
     K = max(1, cfg.fake_presample_steps)
+    from viscoin_tpu.train.viscoin import fake_sample_keys
 
     def fakes_for(i):
-        keys = jnp.stack([jax.random.PRNGKey(i + j) for j in range(K)])
-        return sample_fakes(frozen, keys)
+        return sample_fakes(frozen, fake_sample_keys(jax.random.PRNGKey(0), i, K))
 
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)

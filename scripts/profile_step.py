@@ -39,14 +39,15 @@ def capture(batch: int, out_dir: str) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
-    step, sample_fakes, state, frozen = bench.build(batch)
+    step, sample_fakes, state, frozen, cfg = bench.build(batch)
+    from viscoin_tpu.train.viscoin import fake_sample_keys
+    K = max(1, cfg.fake_presample_steps)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 200, batch).astype(np.int32))
 
-    def fakes_for(i, K=2):
-        keys = jnp.stack([jax.random.PRNGKey(i + j) for j in range(K)])
-        return sample_fakes(frozen, keys)
+    def fakes_for(i):
+        return sample_fakes(frozen, fake_sample_keys(jax.random.PRNGKey(0), i, K))
 
     def sync(m):
         return float(m["total_loss"])
@@ -56,15 +57,15 @@ def capture(batch: int, out_dir: str) -> None:
                           fake_group[0])
     sync(metrics)
     state, metrics = step(state, frozen, images, labels, jax.random.PRNGKey(1),
-                          fake_group[1])
+                          fake_group[1 % K])
     sync(metrics)
 
     jax.profiler.start_trace(out_dir)
-    for i in range(3):  # 3 steps + ceil(3/2) sampler calls in the trace
-        if i % 2 == 0:
+    for i in range(3):  # 3 steps + their sampler calls in the trace
+        if i % K == 0:
             fake_group = fakes_for(2 + i)
         state, metrics = step(state, frozen, images, labels,
-                              jax.random.PRNGKey(2 + i), fake_group[i % 2])
+                              jax.random.PRNGKey(2 + i), fake_group[i % K])
     sync(metrics)
     jax.profiler.stop_trace()
 

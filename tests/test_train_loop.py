@@ -156,3 +156,16 @@ def test_train_viscoin_resume_deterministic(tiny, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(unbroken),
                     jax.tree_util.tree_leaves(resumed)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_train_viscoin_rejects_mismatched_shard_world(tiny, tmp_path):
+    """A shard=(rank, world) loader must match jax.process_count(): the
+    world-4 loader yields batch_size//4 rows, which would otherwise spin the
+    ragged-batch skip forever (single-process CI has process_count == 1)."""
+    models, generator, gvars, lpips, lparams = tiny
+    ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG)
+    loader = DataLoader(ds, batch_size=4, num_threads=0, shard=(0, 4))
+    cfg = VisCoINTrainingParams(iterations=1, batch_size=4)
+    with pytest.raises(ValueError, match="shard world size"):
+        train_viscoin(models, generator, gvars, lpips, lparams,
+                      loader, loader, cfg, checkpoint_dir=str(tmp_path))

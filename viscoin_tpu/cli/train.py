@@ -183,8 +183,16 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     from viscoin_tpu.utils import checkpoints as ckpt
     from viscoin_tpu.utils.logging import get_logger
 
-    train_loader, _ = get_dataloaders(dataset, batch_size)
+    # None-valued CLI flags fall through to the dataclass defaults
+    # (IgnoreNone), like every other train subcommand.
+    cfg = GANTrainingParams(iterations=epochs, learning_rate=learning_rate,
+                            batch_size=batch_size)
+    train_loader, _ = get_dataloaders(dataset, cfg.batch_size)
     size = train_loader.dataset.out_size
+    if len(train_loader.dataset) < cfg.batch_size:
+        raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
+                         f"batch_size={cfg.batch_size}: no full batch can "
+                         "ever be formed")
     # Reference "original pretrained" GAN config (README.md:209-223):
     # z=512, w=512, 2 mapping layers, ADA 'auto' channels, w_avg_beta 0.995.
     generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
@@ -192,10 +200,8 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                           mapping_layers=2)
     discriminator = Discriminator(img_resolution=size, channel_base=channel_base,
                                   channel_max=channel_max,
-                                  mbstd_group_size=min(4, batch_size))
-    cfg = GANTrainingParams(learning_rate=learning_rate or 2.5e-3,
-                            batch_size=batch_size)
-    configure_score_logging(f"gan_{epochs}.jsonl")
+                                  mbstd_group_size=min(4, cfg.batch_size))
+    configure_score_logging(f"gan_{cfg.iterations}.jsonl")
     logger = get_logger()
 
     state, g_extras = create_gan_train_state(generator, discriminator,
@@ -208,15 +214,15 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     it = loop_iter(train_loader)
     base_rng = jax.random.PRNGKey(0)
-    for i in range(epochs):
+    for i in range(cfg.iterations):
         images, _ = next(it)
-        while images.shape[0] != batch_size:  # shape stability under jit
+        while images.shape[0] != cfg.batch_size:  # shape stability under jit
             images, _ = next(it)
         if mesh is not None:
             images = shard_batch(mesh, np.asarray(images))
         state, metrics = step(state, g_extras, jnp.asarray(images),
                               jax.random.fold_in(base_rng, i))
-        if i % 100 == 0 or i == epochs - 1:
+        if i % 100 == 0 or i == cfg.iterations - 1:
             logger.info(json.dumps(
                 {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
 

@@ -33,9 +33,15 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from viscoin_tpu.utils.dataclasses import IgnoreNone
+
 
 @dataclass
-class GANTrainingParams:
+class GANTrainingParams(IgnoreNone):
+    """None-valued constructor args fall through to these defaults
+    (IgnoreNone), so optional CLI flags route straight in."""
+
+    iterations: int = 100_000
     learning_rate: float = 2.5e-3
     beta1: float = 0.0
     beta2: float = 0.99
@@ -63,16 +69,18 @@ class GANTrainState(struct.PyTreeNode):
 
 def _optimizers(cfg: GANTrainingParams):
     """G/D Adam pair with the upstream lazy-regularization correction: when a
-    regularizer runs every N > 1 steps (its term scaled by N), the NVlabs
-    trainer compensates the optimizer with ``mb_ratio = N / (N + 1)`` —
-    ``lr *= mb_ratio``, ``beta**mb_ratio`` (stylegan2-ada train.py). G uses
-    the PPL cadence, D the R1 cadence."""
+    regularizer actually runs every N > 1 steps (its term scaled by N), the
+    NVlabs trainer compensates the optimizer with ``mb_ratio = N / (N + 1)``
+    — ``lr *= mb_ratio``, ``beta**mb_ratio`` (stylegan2-ada train.py). G uses
+    the PPL cadence, D the R1 cadence; a DISABLED regularizer (weight 0)
+    gets no adjustment, like upstream's reg_interval=None."""
 
-    def adam(interval: int):
-        mb = interval / (interval + 1) if interval > 1 else 1.0
+    def adam(interval: int, enabled: bool):
+        mb = interval / (interval + 1) if enabled and interval > 1 else 1.0
         return optax.adam(cfg.learning_rate * mb, b1=cfg.beta1**mb, b2=cfg.beta2**mb)
 
-    return adam(cfg.ppl_interval), adam(cfg.r1_interval)
+    return (adam(cfg.ppl_interval, cfg.ppl_weight > 0),
+            adam(cfg.r1_interval, cfg.r1_gamma > 0))
 
 
 def create_gan_train_state(generator, discriminator, rng, cfg: GANTrainingParams,

@@ -177,14 +177,31 @@ def make_cast(compute_dtype):
     return cast
 
 
+_SAMPLER_TAG = 0x53414D50  # "SAMP": decorrelates sampler keys from step keys
+
+
+def fake_sample_keys(base_rng, group_start: int, k: int):
+    """Stacked per-step sampler keys for steps [group_start, group_start+k):
+    ``fold_in(fold_in(base, step), TAG)``. The TAG fold makes the sampler
+    stream disjoint from the step keys ``fold_in(base, step)``: threefry
+    split is counter-prefix stable (``split(key, n)[0]`` is the same for
+    every n), so splitting the RAW step key here would hand the sampler the
+    exact key the train step uses for its flip mask — correlating
+    augmentation with the synthetic batch."""
+    return jnp.stack([
+        jax.random.fold_in(jax.random.fold_in(base_rng, j), _SAMPLER_TAG)
+        for j in range(group_start, group_start + k)
+    ])
+
+
 def make_sample_fakes(generator_gan, cfg: VisCoINTrainingParams, mesh=None):
     """Jitted sampler for the frozen original GAN's synthetic batches
     (reference: training/utils.py:26-39 — but batched over K steps).
 
-    Returns sample(frozen, rngs (K,) stacked per-step keys) -> fakes
-    (K, batch_size, H, W, 3) in the compute dtype. Row k's LATENTS are drawn
-    from rngs[k] exactly like the in-step path (same split) — a pure per-step
-    function, so a resumed run regenerates identical z. The synthesis runs
+    Returns sample(frozen, rngs (K,) stacked per-step keys — use
+    :func:`fake_sample_keys`) -> fakes (K, batch_size, H, W, 3) in the
+    compute dtype. Row k's LATENTS are a pure function of rngs[k], so a
+    resumed run regenerates identical z. The synthesis runs
     ONCE on the flattened K*batch (full-lane conv layouts) with per-pixel
     noise from a single rbg stream keyed by the group's first key (rbg is the
     cheap TPU-native generator but is not stable under vmap, so per-row noise
@@ -432,11 +449,21 @@ def train_viscoin(
 
     logger = get_logger()
     # Fail fast instead of spinning: the ragged-batch skip below can only
-    # terminate if the loader produces full batches of cfg.batch_size.
+    # terminate if the loader produces full batches of the expected size.
     loader_bs = getattr(train_loader, "batch_size", cfg.batch_size)
     if loader_bs != cfg.batch_size:
         raise ValueError(f"train_loader.batch_size={loader_bs} != "
                          f"cfg.batch_size={cfg.batch_size}")
+    # Sharded loaders (multi-host input pipelines) yield this process's
+    # slice of each global batch; the slices reassemble into the global
+    # batch via global_shard_batch, which requires one loader per process.
+    world = getattr(train_loader, "shard", (0, 1))[1]
+    if world != jax.process_count():
+        raise ValueError(
+            f"train_loader.shard world size {world} != jax.process_count() "
+            f"{jax.process_count()}: use DataLoader(shard=(process_index, "
+            "process_count)) exactly (or an unsharded loader on one process)")
+    local_rows = cfg.batch_size // world
     if hasattr(train_loader, "dataset") and len(train_loader.dataset) < cfg.batch_size:
         raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
                          f"batch_size={cfg.batch_size}: no full batch can ever "
@@ -482,8 +509,8 @@ def train_viscoin(
         train_loader.skip_batches(epochs_done * len(train_loader) + rem)
     for i in range(start, cfg.iterations):
         images, labels = next(train_iter)
-        while images.shape[0] != cfg.batch_size:  # skip ragged final batches
-            images, labels = next(train_iter)     # (shape stability under jit)
+        while images.shape[0] != local_rows:  # skip ragged final batches
+            images, labels = next(train_iter)  # (shape stability under jit)
         # Per-iteration key is a pure function of (seed, i): deterministic
         # resume — a resumed step i draws the same randomness as an unbroken
         # run's step i.
@@ -493,9 +520,7 @@ def train_viscoin(
         # regenerates the identical samples).
         group = (i // K) * K
         if fake_group_start != group:
-            keys = jnp.stack([jax.random.fold_in(base_rng, j)
-                              for j in range(group, group + K)])
-            fake_group = sample_fakes(frozen, keys)
+            fake_group = sample_fakes(frozen, fake_sample_keys(base_rng, group, K))
             fake_group_start = group
         if profile_dir and i == start + 2:  # skip compile + one warm step
             try:
@@ -504,9 +529,12 @@ def train_viscoin(
                 print(f"WARNING: profiler unavailable ({type(e).__name__})")
                 profile_dir = None
         if mesh is not None:
-            from viscoin_tpu.parallel.mesh import shard_batch
+            from viscoin_tpu.parallel.mesh import global_shard_batch
 
-            images, labels = shard_batch(mesh, images, labels.astype("int32"))
+            # On one process == shard_batch; on a multi-host mesh each
+            # process contributes its loader shard of the global batch.
+            images, labels = global_shard_batch(mesh, images,
+                                                labels.astype("int32"))
         else:
             images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
         state, metrics = step_fn(state, frozen, images, labels, k,
