@@ -115,3 +115,22 @@ def test_cli_train_gan_synthetic(tmp_path, monkeypatch):
                   channel_max=16, mapping_layers=2)
     img = g.apply(gvars, jnp.zeros((1, 512)), noise_mode="const")
     assert img.shape == (1, 32, 32, 3) and bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_cli_logs_gan_schema(tmp_path):
+    """`logs` plots `train gan` jsonl (capability extension — the reference
+    has no GAN-training logs)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    log = tmp_path / "gan_200.jsonl"
+    with open(log, "w") as f:
+        for i in (0, 100):
+            f.write(json.dumps({"iteration": i, "g_loss": 1.0, "d_loss": 1.2,
+                                "r1": 0.01, "pl_lengths": 0.5,
+                                "pl_mean": 0.1}) + "\n")
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["logs", "--logs-path", str(log)])
+    assert result.exit_code == 0, result.output

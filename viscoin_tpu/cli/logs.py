@@ -11,12 +11,36 @@ import click
 from viscoin_tpu.utils.types import TestingResults, TrainingResults
 
 
+def _plot_gan_logs(records: list[dict]) -> None:
+    """Loss/metric curves for `train gan` jsonl logs (a capability extension:
+    the reference has no GAN-training logs — it trains GANs externally)."""
+    import matplotlib.pyplot as plt
+
+    steps = [r["iteration"] for r in records]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4))
+    for key in ("g_loss", "d_loss"):
+        ax1.plot(steps, [r[key] for r in records], label=key)
+    ax1.set_xlabel("iteration"), ax1.legend(), ax1.set_title("adversarial losses")
+    for key in ("r1", "pl_lengths", "pl_mean"):
+        if key in records[0]:
+            ax2.plot(steps, [r[key] for r in records], label=key)
+    ax2.set_xlabel("iteration"), ax2.legend(), ax2.set_title("regularizers")
+    plt.tight_layout()
+    plt.show()
+
+
 @click.command()
 @click.option("--logs-path", help="The path to the logs file", required=True, type=str)
 def logs(logs_path: str):
     """Parse a viscoin training jsonl log file and plot the losses and metrics."""
     training_results: list[TrainingResults] = []
     testing_results: list[TestingResults] = []
+
+    with open(logs_path) as f:
+        records = [json.loads(line) for line in f]
+    if records and "g_loss" in records[0]:  # `train gan` log schema
+        _plot_gan_logs(records)
+        return
 
     with open(logs_path) as f:
         for line in f:
