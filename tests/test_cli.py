@@ -134,3 +134,23 @@ def test_cli_logs_gan_schema(tmp_path):
     runner = CliRunner()
     result = runner.invoke(main, ["logs", "--logs-path", str(log)])
     assert result.exit_code == 0, result.output
+
+
+@pytest.mark.parametrize("record", [
+    {"train_loss": 1.0, "train_accuracy": 0.5, "test_loss": 1.1,
+     "test_accuracy": 0.4},  # classifier schema
+    {"train_loss": 0.2, "test_loss": 0.3, "matching_accuracy": 0.7},  # c2c
+])
+def test_cli_logs_other_schemas(tmp_path, record):
+    """`logs` plots classifier and concept2clip jsonl (the reference's own
+    command crashes on both of its non-viscoin schemas)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    log = tmp_path / "log.jsonl"
+    log.write_text(json.dumps(record) + "\n" + json.dumps(record) + "\n")
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["logs", "--logs-path", str(log)])
+    assert result.exit_code == 0, result.output

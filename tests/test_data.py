@@ -190,3 +190,19 @@ def test_sharded_loader_partitions_global_batches():
     np.testing.assert_array_equal(np.asarray(gi), imgs)
     np.testing.assert_array_equal(np.asarray(gl), labels)
     assert gi.sharding.spec == ("data",)
+
+
+def test_loader_propagates_producer_exception():
+    """A dataset error inside the producer thread must surface to the
+    consumer instead of hanging q.get() forever (corrupt-image scenario)."""
+
+    class Corrupt(SyntheticDataset):
+        def _load_raw(self, index):
+            if index == 3:
+                raise OSError("corrupt image")
+            return super()._load_raw(index)
+
+    ds = Corrupt(n=8, n_classes=2, image_size=16)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_threads=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)

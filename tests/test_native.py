@@ -50,7 +50,9 @@ def test_native_batch_multithreaded(rng):
 def test_crop_boxes_modes(rng):
     boxes_test = native.crop_boxes([(300, 400)], "test", 256, rng)
     t, l, ch, cw = boxes_test[0]
-    assert ch == cw == int(round(300 * 0.875))
+    # effective fraction is size/int(size/0.875) = 256/292 — matching the
+    # PIL Resize(292)+CenterCrop(256) geometry exactly, not the nominal 7/8
+    assert ch == cw == int(round(300 * 256 / 292))
     assert t == (300 - ch) // 2 and l == (400 - cw) // 2
 
     for _ in range(20):

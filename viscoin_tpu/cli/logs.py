@@ -29,6 +29,22 @@ def _plot_gan_logs(records: list[dict]) -> None:
     plt.show()
 
 
+def _plot_scalar_logs(records: list[dict], title: str) -> None:
+    """Generic per-epoch scalar curves for the classifier / concept2clip
+    jsonl schemas (the reference's logs command handles only the viscoin
+    schema and crashes on its own other logs; here every schema plots)."""
+    import matplotlib.pyplot as plt
+
+    keys = [k for k in records[0] if isinstance(records[0][k], (int, float))]
+    xs = range(len(records))
+    fig, ax = plt.subplots(figsize=(8, 4))
+    for key in keys:
+        ax.plot(xs, [r[key] for r in records], label=key)
+    ax.set_xlabel("epoch"), ax.legend(), ax.set_title(title)
+    plt.tight_layout()
+    plt.show()
+
+
 @click.command()
 @click.option("--logs-path", help="The path to the logs file", required=True, type=str)
 def logs(logs_path: str):
@@ -40,6 +56,10 @@ def logs(logs_path: str):
         records = [json.loads(line) for line in f]
     if records and "g_loss" in records[0]:  # `train gan` log schema
         _plot_gan_logs(records)
+        return
+    if records and ("matching_accuracy" in records[0]  # concept2clip schema
+                    or "train_accuracy" in records[0]):  # classifier schema
+        _plot_scalar_logs(records, "training curves")
         return
 
     with open(logs_path) as f:

@@ -178,10 +178,16 @@ class LabeledCUB(CUB_200_2011):
             dtype=float, delimiter=" ",
         ).astype(int)  # trailing columns are float confidences/times
         n_images = len(self.labels)
-        self.attributes: list[np.ndarray] = [None] * n_images  # type: ignore
+        # Group the ~1.2M present-attribute rows by image in ONE sorted pass
+        # (a per-image boolean rescan is O(images x rows) — tens of seconds
+        # of numpy time on real CUB at every dataset construction).
         present = raw[raw[:, 2] == 1]
-        for img_id in range(1, n_images + 1):
-            self.attributes[img_id - 1] = present[present[:, 0] == img_id][:, 1]
+        order = np.argsort(present[:, 0], kind="stable")
+        ids, attrs = present[order, 0], present[order, 1]
+        starts = np.searchsorted(ids, np.arange(1, n_images + 2))
+        self.attributes: list[np.ndarray] = [
+            attrs[starts[i]:starts[i + 1]] for i in range(n_images)
+        ]
 
     def get_caption(self, index: int) -> str:
         ai = self._abs_index(index)

@@ -151,12 +151,19 @@ class DataLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    if not put(self._make_batch(b, pool)):
-                        return
+            # A producer crash (e.g. a corrupt image raising in __getitem__)
+            # must reach the consumer: without the except/finally the
+            # sentinel is never enqueued and q.get() blocks forever.
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        if not put(self._make_batch(b, pool)):
+                            return
+            except BaseException as e:  # noqa: BLE001 - forwarded, not dropped
+                put(e)
+                return
             put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -166,6 +173,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

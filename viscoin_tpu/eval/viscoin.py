@@ -135,13 +135,24 @@ def test_viscoin(
     fid_detector=None,  # callable (float NHWC images) -> (B, D) features
     verbose: bool = True,
     mesh=None,
+    step=None,
 ) -> TestingResults:
     """Full-ensemble metrics over a test loader (reference:
     testing/viscoin.py:37-141). Metrics are exact valid-sample averages
     (losses) / percentages (prediction stats), invariant to batch size —
     a documented divergence from the reference's per-batch-mean averaging
-    (PARITY.md)."""
-    step = make_test_step(models, lpips_module, mesh=mesh)
+    (PARITY.md).
+
+    ``step``: a prebuilt :func:`make_test_step` result — pass it when
+    calling repeatedly (the in-training eval cadence) so the jit wrapper
+    (and its retrace) is built once, not per eval."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "multi-host evaluation is not implemented: test_viscoin feeds "
+            "host-local batches, which cannot satisfy a multi-host sharding "
+            "(the train loop skips in-loop eval on multi-host runs)")
+    if step is None:
+        step = make_test_step(models, lpips_module, mesh=mesh)
     variables = _bundle_variables(models)
 
     sums: dict[str, float] = {}
@@ -264,7 +275,10 @@ def amplify_concepts(
     pooled = np.asarray(max_pool_concepts(phi))[0]  # (K,)
     weights = np.asarray(Explainer.effective_weight(models.explainer_params))
     intensities = pooled * weights[class_pred]
-    intensities = intensities / np.abs(intensities).max()
+    # Zero-activation guard: all-zero Phi (reachable early in training, the
+    # pooled concepts are post-ReLU) would otherwise produce 0/0 = NaN
+    # intensities and a silently empty selection.
+    intensities = intensities / max(np.abs(intensities).max(), 1e-12)
 
     K = intensities.shape[0]
     if concept_selection["method"] == "threshold":

@@ -97,9 +97,11 @@ def crop_boxes(shapes: list[tuple[int, int]], mode: str, size: int,
     """Compute crop boxes for a batch.
 
     train: RandomResizedCrop geometry (viscoin/datasets/transforms.py:16).
-    test: Resize(short=size/0.875)+CenterCrop(size) collapsed into ONE
-          crop+resize — the center region of side short*0.875 (equivalent
-          geometry with a single resampling pass).
+    test: Resize(short=int(size/0.875))+CenterCrop(size) collapsed into ONE
+          crop+resize — the center region of side short*size/resize_to,
+          where resize_to = int(size/0.875) (e.g. 256/292 = 0.8767, NOT
+          0.875: the int() truncation in the torchvision recipe shifts the
+          effective fraction, and the PIL path reproduces exactly that).
 
     ``rng`` is one np.random.Generator for the whole batch, or a list of
     per-image Generators (the loader keys each by (seed, epoch, index), so
@@ -114,6 +116,6 @@ def crop_boxes(shapes: list[tuple[int, int]], mode: str, size: int,
         if mode == "train":
             boxes[i] = random_resized_crop_params(h, w, rngs[i])
         else:
-            side = int(round(min(h, w) * 0.875))
+            side = int(round(min(h, w) * size / int(size / 0.875)))
             boxes[i] = ((h - side) // 2, (w - side) // 2, side, side)
     return boxes

@@ -93,7 +93,11 @@ def train_classifier(classifier, variables, train_loader, test_loader,
     rng = jax.random.PRNGKey(seed)
 
     best_accuracy = 0.0
-    best = {"params": state.params, "batch_stats": state.batch_stats}
+    # Host copy: the jitted step donates the state, so aliasing the initial
+    # device buffers here would leave `best` pointing at deleted arrays if
+    # no epoch ever beats accuracy 0.0.
+    best = jax.tree_util.tree_map(
+        np.asarray, {"params": state.params, "batch_stats": state.batch_stats})
 
     for epoch in range(params.epochs):
         total_correct, total_loss, total_samples, n_batches = 0, 0.0, 0, 0

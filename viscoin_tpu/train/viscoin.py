@@ -486,6 +486,7 @@ def train_viscoin(
     base_rng = jax.random.PRNGKey(seed)
     train_iter = loop_iter(train_loader)
     amplify_fns = None
+    eval_step = None
     fake_group, fake_group_start = None, -1
 
     def sync_models():
@@ -555,12 +556,26 @@ def train_viscoin(
                 for k_ in ["acc_loss", "cr_loss", "of_loss", "ortho_loss",
                            "rec_loss", "gan_loss", "inter_loss"]
             }
-            test_results = test_viscoin(models, lpips_module, lpips_params,
-                                        test_loader, compute_fid=fid_detector is not None,
-                                        fid_detector=fid_detector, verbose=False,
-                                        mesh=mesh)
-            train_data.update({f"test_{k_}": v for k_, v in
-                               test_results.__dict__.items()})
+            if jax.process_count() > 1:
+                # Multi-host: in-loop eval is not implemented (test_viscoin
+                # feeds host-local batches); log train metrics only.
+                if i == start:
+                    print("NOTE: multi-host run — skipping in-loop test_viscoin")
+            else:
+                if eval_step is None:
+                    from viscoin_tpu.eval.viscoin import make_test_step
+
+                    # Built once: a fresh jit wrapper per eval would retrace
+                    # (and, without a persistent cache, recompile) every
+                    # 2000 iterations.
+                    eval_step = make_test_step(models, lpips_module, mesh=mesh)
+                test_results = test_viscoin(
+                    models, lpips_module, lpips_params, test_loader,
+                    compute_fid=fid_detector is not None,
+                    fid_detector=fid_detector, verbose=False, mesh=mesh,
+                    step=eval_step)
+                train_data.update({f"test_{k_}": v for k_, v in
+                                   test_results.__dict__.items()})
             logger.info(json.dumps(train_data))
 
         if i % checkpoint_every == 0:
