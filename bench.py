@@ -36,7 +36,10 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 128.0  # estimated reference A100 throughput (BASELINE.md)
 
 
-def build(batch: int, compute_dtype: str = "bfloat16"):
+def build(batch: int, compute_dtype: str = "bfloat16", mesh=None):
+    """Flagship-config step + sampler + state. With ``mesh``: mesh-sharded
+    jits and replicated state/frozen — run_multichip measures EXACTLY the
+    single-chip model (one config source, not a copy)."""
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator
@@ -65,11 +68,16 @@ def build(batch: int, compute_dtype: str = "bfloat16"):
 
     cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
                                 cd_fid_iteration=-1, compute_dtype=compute_dtype)
-    step = make_jitted_train_step(models, generator, lpips, cfg,
+    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh,
                                   external_fakes=True)
-    sample_fakes = make_sample_fakes(generator, cfg)
+    sample_fakes = make_sample_fakes(generator, cfg, mesh=mesh)
     frozen = make_frozen(models, gvars, lparams, compute_dtype=compute_dtype)
     state = create_train_state(models, cfg)
+    if mesh is not None:
+        from viscoin_tpu.parallel.mesh import replicate
+
+        frozen = replicate(mesh, frozen)
+        state = replicate(mesh, state)
     return step, sample_fakes, state, frozen, cfg
 
 
@@ -159,43 +167,12 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
     """Mesh-sharded train step over all local devices: img/s/chip + scaling
     efficiency vs the single-chip rate. Gated no-op on one device — the day
     multi-chip hardware appears this measures it with no code changes."""
-    from viscoin_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from viscoin_tpu.parallel.mesh import make_mesh, shard_batch
 
     n = len(jax.devices())
-    from viscoin_tpu.models.bundle import default_models, init_models
-    from viscoin_tpu.models.lpips import LPIPS
-    from viscoin_tpu.models.stylegan import Generator
-    from viscoin_tpu.train.viscoin import (
-        VisCoINTrainingParams,
-        create_train_state,
-        make_frozen,
-        make_jitted_train_step,
-        make_sample_fakes,
-    )
-
-    models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
-                            channel_base=16384)
-    models = init_models(models, jax.random.PRNGKey(0), image_size=256)
-    generator = Generator(z_dim=512, w_dim=512, img_resolution=256,
-                          channel_base=16384, mapping_layers=2)
-    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
-        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)), noise_mode="const"
-    )
-    lpips = LPIPS()
-    lparams = jax.jit(lpips.init)(
-        jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3))
-    )["params"]
-
     batch = batch_per_chip * n
     mesh = make_mesh(n)
-    cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
-                                cd_fid_iteration=-1, compute_dtype="bfloat16")
-    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh,
-                                  external_fakes=True)
-    sample_fakes = make_sample_fakes(generator, cfg, mesh=mesh)
-    frozen = replicate(mesh, make_frozen(models, gvars, lparams,
-                                        compute_dtype=cfg.compute_dtype))
-    state = replicate(mesh, create_train_state(models, cfg))
+    step, sample_fakes, state, frozen, cfg = build(batch, mesh=mesh)
     K = max(1, cfg.fake_presample_steps)
     from viscoin_tpu.train.viscoin import fake_sample_keys
 
@@ -230,9 +207,13 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     result = None
-    for b in [batch, batch // 2, batch // 4, 8]:
-        if b < 1:
-            continue
+    # Deduplicated, strictly-decreasing fallback ladder: never re-try a batch
+    # that already failed, never try a LARGER batch after a smaller one
+    # failed (each attempt costs a multi-minute remote compile).
+    ladder = [b for b in dict.fromkeys([batch, batch // 2, batch // 4, 8])
+              if b >= 1]
+    ladder = [b for i, b in enumerate(ladder) if all(b < p for p in ladder[:i])]
+    for b in ladder:
         try:
             result = run(b)
             break
@@ -244,7 +225,7 @@ def main():
                           "unit": "img/s", "vs_baseline": 0.0}))
         return
     try:
-        result.update(run_reconstruction(batch))
+        result.update(run_reconstruction(result["batch"]))
     except Exception as e:
         print(f"# reconstruction bench failed: {type(e).__name__}", file=sys.stderr)
     if len(jax.devices()) > 1:

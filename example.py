@@ -53,8 +53,8 @@ def forward(variables, batch):
         {"params": variables["psi"]}, tuple(hidden[-3:])
     )
     expl_classes = models.explainer.apply({"params": variables["theta"]}, concept_space)
-    fake_img, ws = models.gan.apply(variables["gan"], concept_space, gan_helper_space,
-                                    return_latents=True, noise_mode="const")
+    fake_img = models.gan.apply(variables["gan"], concept_space, gan_helper_space,
+                                noise_mode="const")
     return classes, concept_space, expl_classes, fake_img
 
 

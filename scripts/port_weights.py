@@ -15,9 +15,11 @@ pickle: the pickle is parsed with a shimmed `torch_utils.persistence` module
 the submodule is NOT needed.
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")  # run from the repo root
+# Repo root from this file's location — the script works from any cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_torch_file(path: str):
@@ -59,10 +61,15 @@ def load_nvlabs_pickle(path: str):
 
     persistence = types.ModuleType("torch_utils.persistence")
     persistence._reconstruct_persistent_obj = _reconstruct
-    for name, mod in [("torch_utils", types.ModuleType("torch_utils")),
-                      ("torch_utils.persistence", persistence)]:
-        sys.modules.setdefault(name, mod)
-    sys.modules["torch_utils"].persistence = persistence
+    # Shim torch_utils.persistence ONLY for the duration of this load: a
+    # permanently-installed stub would shadow any real NVlabs torch_utils
+    # imported later in the same process.
+    saved = {n: sys.modules.get(n) for n in ("torch_utils", "torch_utils.persistence")}
+    saved_attr = getattr(saved["torch_utils"], "persistence", None) if saved["torch_utils"] else None
+    shim_root = saved["torch_utils"] or types.ModuleType("torch_utils")
+    sys.modules["torch_utils"] = shim_root
+    sys.modules["torch_utils.persistence"] = persistence
+    shim_root.persistence = persistence
 
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
@@ -75,11 +82,24 @@ def load_nvlabs_pickle(path: str):
             raise pickle.UnpicklingError("use torch.load path")
 
     try:
-        obj = torch.load(path, map_location="cpu", weights_only=False,
-                         pickle_module=pickle)
-    except Exception:
-        with open(path, "rb") as f:
-            obj = _Unpickler(f).load()
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False,
+                             pickle_module=pickle)
+        except Exception:
+            with open(path, "rb") as f:
+                obj = _Unpickler(f).load()
+    finally:
+        for n, mod in saved.items():
+            if mod is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = mod
+        if saved["torch_utils"] is not None:
+            if saved_attr is None:
+                if getattr(saved["torch_utils"], "persistence", None) is persistence:
+                    del saved["torch_utils"].persistence
+            else:
+                saved["torch_utils"].persistence = saved_attr
 
     # Collect tensor dicts from the object / captured metas, producing
     # torch state_dict naming ("synthesis.b4.conv1.weight"). With the
@@ -160,7 +180,10 @@ def main():
         }
     elif kind == "stylegan":
         nets = load_nvlabs_pickle(src)
-        sd = nets.get("G_ema") or next(iter(nets.values()))
+        sd = nets.get("G_ema") or next(iter(nets.values()), None)
+        if not sd:
+            raise SystemExit(f"no generator tensors found in {src} — is this a "
+                             "stylegan2-ada network pickle with a G/G_ema entry?")
         out = porting.convert_torch_generator(porting.state_dict_to_numpy(sd))
     elif kind == "lpips":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj

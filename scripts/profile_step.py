@@ -71,7 +71,13 @@ def capture(batch: int, out_dir: str) -> None:
 
 
 def load_events(out_dir: str) -> list[dict]:
-    paths = sorted(glob.glob(os.path.join(out_dir, "plugins/profile/*/*trace.json.gz")))
+    # Prefer the DEVICE timeline (vm.trace.json.gz through the relay);
+    # jax.profiler also writes a <hostname>.trace.json.gz HOST trace next to
+    # it, and analyzing that one would sum host-side TraceMe events into a
+    # meaningless "device" table.
+    paths = sorted(glob.glob(os.path.join(out_dir, "plugins/profile/*/vm.trace.json.gz")))
+    if not paths:
+        paths = sorted(glob.glob(os.path.join(out_dir, "plugins/profile/*/*trace.json.gz")))
     if not paths:
         raise SystemExit(f"no trace under {out_dir}")
     with gzip.open(paths[-1], "rt") as f:
@@ -114,7 +120,10 @@ if __name__ == "__main__":
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 64
     out = "/tmp/vtrace"
     if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
+        idx = sys.argv.index("--out")
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit("usage: profile_step.py [batch] --out <dir>")
+        out = sys.argv[idx + 1]
     if "--analyze-only" not in sys.argv:
         capture(batch, out)
     analyze(out)
