@@ -204,16 +204,19 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
     }
 
 
+def fallback_ladder(batch: int) -> list[int]:
+    """Deduplicated, strictly-decreasing OOM-fallback batches: never re-try
+    a batch that already failed, never try a LARGER batch after a smaller
+    one failed (each attempt costs a multi-minute remote compile)."""
+    ladder = [b for b in dict.fromkeys([batch, batch // 2, batch // 4, 8])
+              if b >= 1]
+    return [b for i, b in enumerate(ladder) if all(b < p for p in ladder[:i])]
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     result = None
-    # Deduplicated, strictly-decreasing fallback ladder: never re-try a batch
-    # that already failed, never try a LARGER batch after a smaller one
-    # failed (each attempt costs a multi-minute remote compile).
-    ladder = [b for b in dict.fromkeys([batch, batch // 2, batch // 4, 8])
-              if b >= 1]
-    ladder = [b for i, b in enumerate(ladder) if all(b < p for p in ladder[:i])]
-    for b in ladder:
+    for b in fallback_ladder(batch):
         try:
             result = run(b)
             break

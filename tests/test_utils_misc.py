@@ -63,3 +63,26 @@ def test_ignore_none_falls_through_to_defaults():
 
     p = P(a=None, b="y")
     assert p.a == 3 and p.b == "y"
+
+
+def test_bench_fallback_ladder():
+    """bench.py's OOM ladder is deduped and strictly decreasing (a repeat or
+    a larger-after-smaller entry costs a guaranteed-failing multi-minute
+    remote compile)."""
+    import importlib.util
+    import pathlib
+
+    # bench.py imports jax and sets cache config at module level — harmless
+    # under the suite's CPU pin (conftest).
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.fallback_ladder(64) == [64, 32, 16, 8]
+    assert bench.fallback_ladder(8) == [8, 4, 2]
+    assert bench.fallback_ladder(12) == [12, 6, 3]
+    assert bench.fallback_ladder(1) == [1]
+    for b in (1, 5, 8, 12, 64, 1024):
+        lad = bench.fallback_ladder(b)
+        assert lad == sorted(set(lad), reverse=True)
