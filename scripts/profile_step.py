@@ -82,7 +82,26 @@ def load_events(out_dir: str) -> list[dict]:
         raise SystemExit(f"no trace under {out_dir}")
     with gzip.open(paths[-1], "rt") as f:
         data = json.load(f)
-    return data.get("traceEvents", [])
+    events = data.get("traceEvents", [])
+    # The combined trace interleaves device and host tracks; keep only the
+    # per-HLO device lane (process "/device:*", thread "XLA Ops") — summing
+    # everything would double-count jit spans, step markers, and host
+    # TraceMes into a meaningless table.
+    device_pids, xla_ops_tids = set(), set()
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if (e.get("name") == "process_name"
+                and str(e.get("args", {}).get("name", "")).startswith("/device:")):
+            device_pids.add(e.get("pid"))
+        if (e.get("name") == "thread_name"
+                and e.get("args", {}).get("name") == "XLA Ops"):
+            xla_ops_tids.add((e.get("pid"), e.get("tid")))
+    if device_pids:
+        keep = {(p, t) for p, t in xla_ops_tids if p in device_pids}
+        events = [e for e in events
+                  if (e.get("pid"), e.get("tid")) in keep or e.get("ph") == "M"]
+    return events
 
 
 def analyze(out_dir: str, steps: int = 3) -> None:

@@ -21,9 +21,10 @@ def _plot_gan_logs(records: list[dict]) -> None:
     for key in ("g_loss", "d_loss"):
         ax1.plot(steps, [r[key] for r in records], label=key)
     ax1.set_xlabel("iteration"), ax1.legend(), ax1.set_title("adversarial losses")
-    for key in ("r1", "pl_lengths", "pl_mean"):
-        if key in records[0]:
-            ax2.plot(steps, [r[key] for r in records], label=key)
+    for key in ("r1", "pl_lengths", "pl_mean", "ada_p"):
+        if any(key in r for r in records):
+            pts = [(s, r[key]) for s, r in zip(steps, records) if key in r]
+            ax2.plot([p[0] for p in pts], [p[1] for p in pts], label=key)
     ax2.set_xlabel("iteration"), ax2.legend(), ax2.set_title("regularizers")
     plt.tight_layout()
     plt.show()
@@ -36,13 +37,33 @@ def _plot_scalar_logs(records: list[dict], title: str) -> None:
     import matplotlib.pyplot as plt
 
     keys = [k for k in records[0] if isinstance(records[0][k], (int, float))]
-    xs = range(len(records))
     fig, ax = plt.subplots(figsize=(8, 4))
     for key in keys:
-        ax.plot(xs, [r[key] for r in records], label=key)
+        pts = [(i, r[key]) for i, r in enumerate(records) if key in r]
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], label=key)
     ax.set_xlabel("epoch"), ax.legend(), ax.set_title(title)
     plt.tight_layout()
     plt.show()
+
+
+def _read_records(logs_path: str) -> list[dict]:
+    """Parse a jsonl log, skipping blank lines and tolerating a truncated
+    final line (a run killed mid-write leaves one); mid-file corruption
+    still raises with the line number."""
+    lines: list[tuple[int, str]] = []
+    with open(logs_path) as f:
+        for i, line in enumerate(f, 1):
+            if line.strip():
+                lines.append((i, line))
+    records = []
+    for pos, (i, line) in enumerate(lines):
+        try:
+            records.append(json.loads(line))
+        except json.JSONDecodeError:
+            if pos == len(lines) - 1:
+                continue  # partial last line from a killed run
+            raise ValueError(f"{logs_path}:{i}: unparseable jsonl line")
+    return records
 
 
 @click.command()
@@ -52,8 +73,7 @@ def logs(logs_path: str):
     training_results: list[TrainingResults] = []
     testing_results: list[TestingResults] = []
 
-    with open(logs_path) as f:
-        records = [json.loads(line) for line in f]
+    records = _read_records(logs_path)
     if records and "g_loss" in records[0]:  # `train gan` log schema
         _plot_gan_logs(records)
         return
@@ -62,23 +82,21 @@ def logs(logs_path: str):
         _plot_scalar_logs(records, "training curves")
         return
 
-    with open(logs_path) as f:
-        for line in f:
-            data = json.loads(line)
-            train_kwargs, test_kwargs = {}, {}
-            for key, value in data.items():
-                # NOTE: the reference slices key[6:] for BOTH prefixes
-                # (cli/logs.py:33-35), which mangles "test_*" keys ("test_" is
-                # 5 chars) and crashes its own command on viscoin logs —
-                # fixed here by stripping the actual prefix.
-                if key.startswith("train_"):
-                    train_kwargs[key[len("train_"):]] = value
-                elif key.startswith("test_"):
-                    test_kwargs[key[len("test_"):]] = value
-                else:
-                    raise ValueError(f"Unknown key: {key}")
-            training_results.append(TrainingResults(**train_kwargs))
-            testing_results.append(TestingResults(**test_kwargs))
+    for data in records:
+        train_kwargs, test_kwargs = {}, {}
+        for key, value in data.items():
+            # NOTE: the reference slices key[6:] for BOTH prefixes
+            # (cli/logs.py:33-35), which mangles "test_*" keys ("test_" is
+            # 5 chars) and crashes its own command on viscoin logs —
+            # fixed here by stripping the actual prefix.
+            if key.startswith("train_"):
+                train_kwargs[key[len("train_"):]] = value
+            elif key.startswith("test_"):
+                test_kwargs[key[len("test_"):]] = value
+            else:
+                raise ValueError(f"Unknown key: {key}")
+        training_results.append(TrainingResults(**train_kwargs))
+        testing_results.append(TestingResults(**test_kwargs))
 
     TrainingResults.plot_losses(training_results)
     TestingResults.plot_losses(testing_results)

@@ -25,10 +25,17 @@ def _build_and_load():
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
+    import hashlib
+
     src = os.path.join(os.path.dirname(__file__), "transform.cpp")
-    out = os.path.join(os.path.dirname(__file__), "libvctransform.so")
+    # The binary name carries the source hash: a stale build can never win
+    # over edited source (git does not preserve mtimes, so an mtime check
+    # can be fooled by checkout order).
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(os.path.dirname(__file__), f"libvctransform-{digest}.so")
     try:
-        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        if not os.path.exists(out):
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                  src, "-o", out],
