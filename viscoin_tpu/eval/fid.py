@@ -38,6 +38,22 @@ class FeatureStats:
         self._sum += x.sum(axis=0)
         self._outer += x.T @ x
 
+    def append_moments(self, sum_x: np.ndarray, outer: np.ndarray, n: float):
+        """Accumulate precomputed per-batch moments (Σx, Σxxᵀ, count) —
+        the device-side reduction path used on meshes/multi-host runs, where
+        raw features are sharded across processes and only the (replicated)
+        moment sums come back to host."""
+        sum_x = np.asarray(sum_x, np.float64)
+        outer = np.asarray(outer, np.float64)
+        if self.max_items is not None and self.num_items + n > self.max_items:
+            raise ValueError("append_moments cannot truncate to max_items")
+        if self._sum is None:
+            self._sum = np.zeros(sum_x.shape[0])
+            self._outer = np.zeros(outer.shape)
+        self.num_items += int(n)
+        self._sum += sum_x
+        self._outer += outer
+
     def get_mean_cov(self) -> tuple[np.ndarray, np.ndarray]:
         mean = self._sum / self.num_items
         cov = self._outer / self.num_items - np.outer(mean, mean)

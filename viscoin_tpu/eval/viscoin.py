@@ -126,6 +126,28 @@ def make_test_step(models: VisCoINModels, lpips_module, mesh=None):
                    out_shardings=(rep, sh, sh), compiler_options=copts)
 
 
+def make_fid_moments(mesh=None):
+    """Jitted (features (B,D), valid (B,)) -> (Σx (D,), Σxxᵀ (D,D), n ()) with
+    invalid (padding) rows masked out. On a mesh the inputs are batch-sharded
+    and the moment sums come back replicated (GSPMD reduces over ICI/DCN) —
+    this is how FID statistics accumulate on multi-host runs, where no single
+    host can materialize the global feature batch."""
+
+    def moments(feats, valid):
+        f = feats.astype(jnp.float32) * valid[:, None]
+        return jnp.sum(f, axis=0), f.T @ f, jnp.sum(valid)
+
+    if mesh is None:
+        return jax.jit(moments)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    return jax.jit(moments, in_shardings=(sh, sh),
+                   out_shardings=(rep, rep, rep))
+
+
 def test_viscoin(
     models: VisCoINModels,
     lpips_module,
@@ -145,12 +167,23 @@ def test_viscoin(
 
     ``step``: a prebuilt :func:`make_test_step` result — pass it when
     calling repeatedly (the in-training eval cadence) so the jit wrapper
-    (and its retrace) is built once, not per eval."""
+    (and its retrace) is built once, not per eval.
+
+    Multi-host: pass a mesh over all processes' devices and a sharded
+    ``dataloader`` (``DataLoader(shard=(process_index, process_count))``) —
+    each process contributes its loader shard of every global batch via
+    ``global_shard_batch``; the metric sums are GSPMD-reduced and identical
+    on every host, and FID moments reduce on device (no host ever holds the
+    global feature batch)."""
     if jax.process_count() > 1:
-        raise NotImplementedError(
-            "multi-host evaluation is not implemented: test_viscoin feeds "
-            "host-local batches, which cannot satisfy a multi-host sharding "
-            "(the train loop skips in-loop eval on multi-host runs)")
+        if mesh is None:
+            raise ValueError("multi-host test_viscoin requires a mesh over "
+                             "all processes' devices")
+        world = getattr(dataloader, "shard", (0, 1))[1]
+        if world != jax.process_count():
+            raise ValueError(
+                f"multi-host test_viscoin needs a sharded loader: loader "
+                f"shard world {world} != process_count {jax.process_count()}")
     if step is None:
         step = make_test_step(models, lpips_module, mesh=mesh)
     variables = _bundle_variables(models)
@@ -158,22 +191,42 @@ def test_viscoin(
     sums: dict[str, float] = {}
     stats_real = FeatureStats()
     stats_fake = FeatureStats()
-    batch_size = dataloader.batch_size
+    # A sharded loader yields LOCAL slices (batch_size // world rows); pad to
+    # the local row count so the reassembled global batch keeps its size.
+    local_bs = dataloader.batch_size // getattr(dataloader, "shard", (0, 1))[1]
+    fid_moments = None
+    if compute_fid and fid_detector is not None and mesh is not None:
+        fid_moments = make_fid_moments(mesh)
 
     for images, labels in dataloader:
         n = images.shape[0]
-        if n < batch_size:
-            pad = batch_size - n
+        if n < local_bs:
+            pad = local_bs - n
             images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
             labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
-        valid = jnp.asarray((np.arange(batch_size) < n).astype(np.float32))
-        metrics, rebuilt, x = step(variables, lpips_params, jnp.asarray(images),
-                                   jnp.asarray(labels), valid)
+        valid = (np.arange(local_bs) < n).astype(np.float32)
+        if mesh is not None:
+            from viscoin_tpu.parallel.mesh import global_shard_batch
+
+            images, labels, valid = global_shard_batch(
+                mesh, images, np.asarray(labels), valid)
+        else:
+            images, labels, valid = (jnp.asarray(images), jnp.asarray(labels),
+                                     jnp.asarray(valid))
+        metrics, rebuilt, x = step(variables, lpips_params, images, labels, valid)
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         if compute_fid and fid_detector is not None:
-            stats_fake.append(np.asarray(fid_detector(rebuilt))[:n])
-            stats_real.append(np.asarray(fid_detector(x))[:n])
+            if fid_moments is not None:
+                # Device-side masked moments (mesh / multi-host path): the
+                # padding rows are excluded by the valid mask instead of a
+                # host-side slice.
+                for stats, imgs in ((stats_fake, rebuilt), (stats_real, x)):
+                    s, o, cnt = fid_moments(fid_detector(imgs), valid)
+                    stats.append_moments(np.asarray(s), np.asarray(o), float(cnt))
+            else:
+                stats_fake.append(np.asarray(fid_detector(rebuilt))[:n])
+                stats_real.append(np.asarray(fid_detector(x))[:n])
 
     n_total = max(sums.get("n_valid", 0.0), 1.0)
     results = TestingResults(

@@ -65,6 +65,13 @@ class VisCoINTrainingParams(IgnoreNone):
     # master params + fp32 loss math). The reference is fp32-only.
     compute_dtype: str = "float32"
 
+    # TPU-first addition: rematerialization (jax.checkpoint) of the big
+    # forwards — "+"-separated subset of {"lpips", "classifier", "gan"}.
+    # Cuts the backward's saved-activation working set (the HBM pressure
+    # that makes batch 128 lose to 64 on one chip) at the cost of
+    # recomputing those forwards in the backward pass.
+    remat: str = ""
+
     # TPU-first addition: draw the frozen-GAN synthetic batches for K
     # consecutive steps in ONE jitted sampler call (K*batch_size images).
     # At the flagship batch 64, the in-step batch-64 generation gets
@@ -270,6 +277,11 @@ def make_train_step(
 
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     cast = make_cast(compute_dtype)
+    remat = set(filter(None, (cfg.remat or "").replace(",", "+").split("+")))
+    unknown = remat - {"lpips", "classifier", "gan"}
+    if unknown:
+        raise ValueError(f"unknown remat targets {sorted(unknown)}; "
+                         "expected subset of lpips+classifier+gan")
 
     def loss_fn(params, frozen, real, labels, step, rng, fake):
         # Mixed precision: cast weights + activations to the compute dtype at
@@ -288,6 +300,11 @@ def make_train_step(
                 {"params": lpips_params}, a.astype(compute_dtype),
                 b.astype(compute_dtype)
             ).astype(jnp.float32)
+
+        if "lpips" in remat:
+            # Recompute the two VGG towers in the backward instead of saving
+            # their feature pyramids (the largest activation set of the step).
+            lpips_fn = jax.checkpoint(lpips_fn)
 
         k_fake, k_noise1, k_noise2, k_drop = jax.random.split(rng, 4)
         # Per-pixel synthesis noise is the biggest RNG consumer (~8.4M values
@@ -339,12 +356,25 @@ def make_train_step(
             "params": {"mapping": params_c["mapping"], "synthesis": synthesis_params},
             **({"noise": gan_noise} if gan_noise else {}),
         }
+        def gan_fwd(gan_variables, phi, phi_prime, k_noise):
+            return gan.apply(gan_variables, phi, phi_prime, return_latents=True,
+                             noise_mode="random", rngs={"noise": k_noise})
+
+        if "gan" in remat:
+            gan_fwd = jax.checkpoint(gan_fwd)
         with jax.named_scope("gan_reconstruction"):
-            rebuilt, ws = gan.apply(gan_variables, phi, phi_prime, return_latents=True,
-                                    noise_mode="random", rngs={"noise": k_noise2})
+            rebuilt, ws = gan_fwd(gan_variables, phi, phi_prime, k_noise2)
         rebuilt = rebuilt.astype(compute_dtype)
+
+        def f_rebuilt(classifier_vars, rebuilt):
+            # Logits only: the hidden states of the rebuilt pass are unused,
+            # so they never become saved residuals.
+            return classifier.apply(classifier_vars, rebuilt, train=False)[0]
+
+        if "classifier" in remat:
+            f_rebuilt = jax.checkpoint(f_rebuilt)
         with jax.named_scope("classifier_f_rebuilt"):
-            rebuilt_classes, _ = classifier.apply(classifier_vars, rebuilt, train=False)
+            rebuilt_classes = f_rebuilt(classifier_vars, rebuilt)
 
         rec_loss = L.reconstruction_loss(
             rebuilt.astype(jnp.float32), all_images.astype(jnp.float32),
@@ -463,6 +493,18 @@ def train_viscoin(
             f"train_loader.shard world size {world} != jax.process_count() "
             f"{jax.process_count()}: use DataLoader(shard=(process_index, "
             "process_count)) exactly (or an unsharded loader on one process)")
+    if jax.process_count() > 1:
+        # In-loop eval is collective (every process walks the test loader in
+        # lockstep feeding global_shard_batch) — refuse, don't forget.
+        test_world = getattr(test_loader, "shard", (0, 1))[1]
+        if test_world != jax.process_count():
+            raise ValueError(
+                f"multi-host run: test_loader.shard world {test_world} != "
+                f"process_count {jax.process_count()} — the in-loop eval "
+                "feeds per-host shards of each global test batch")
+        if mesh is None:
+            raise ValueError("multi-host training requires a mesh over all "
+                             "processes' devices")
     local_rows = cfg.batch_size // world
     if hasattr(train_loader, "dataset") and len(train_loader.dataset) < cfg.batch_size:
         raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
@@ -480,8 +522,16 @@ def train_viscoin(
 
         frozen = replicate(mesh, frozen)
         state = replicate(mesh, state)
+    # Invariants a resume must hold to replay the identical stream: the
+    # sampler noise is keyed per K-group (make_sample_fakes), the loader
+    # order is a function of (seed, epoch), and the step keys of (seed, i).
+    # Persisted with every checkpoint; a mismatch on --resume is an error,
+    # not a silently different sample stream.
+    resume_meta = {"fake_presample_steps": K, "batch_size": cfg.batch_size,
+                   "seed": seed}
     if resume_from:
-        state = ckpt.restore_train_state(state, resume_from)
+        state = ckpt.restore_train_state(state, resume_from,
+                                         expect_meta=resume_meta)
 
     base_rng = jax.random.PRNGKey(seed)
     train_iter = loop_iter(train_loader)
@@ -556,41 +606,65 @@ def train_viscoin(
                 for k_ in ["acc_loss", "cr_loss", "of_loss", "ortho_loss",
                            "rec_loss", "gan_loss", "inter_loss"]
             }
-            if jax.process_count() > 1:
-                # Multi-host: in-loop eval is not implemented (test_viscoin
-                # feeds host-local batches); log train metrics only.
-                if i == start:
-                    print("NOTE: multi-host run — skipping in-loop test_viscoin")
-            else:
-                if eval_step is None:
-                    from viscoin_tpu.eval.viscoin import make_test_step
+            if eval_step is None:
+                from viscoin_tpu.eval.viscoin import make_test_step
 
-                    # Built once: a fresh jit wrapper per eval would retrace
-                    # (and, without a persistent cache, recompile) every
-                    # 2000 iterations.
-                    eval_step = make_test_step(models, lpips_module, mesh=mesh)
-                test_results = test_viscoin(
-                    models, lpips_module, lpips_params, test_loader,
-                    compute_fid=fid_detector is not None,
-                    fid_detector=fid_detector, verbose=False, mesh=mesh,
-                    step=eval_step)
-                train_data.update({f"test_{k_}": v for k_, v in
-                                   test_results.__dict__.items()})
-            logger.info(json.dumps(train_data))
+                # Built once: a fresh jit wrapper per eval would retrace
+                # (and, without a persistent cache, recompile) every
+                # 2000 iterations.
+                eval_step = make_test_step(models, lpips_module, mesh=mesh)
+            # Multi-host capable: every process participates (the eval step
+            # and FID moments are GSPMD-reduced over the mesh; test_loader is
+            # validated sharded above), and the replicated metric scalars are
+            # identical on every host.
+            test_results = test_viscoin(
+                models, lpips_module, lpips_params, test_loader,
+                compute_fid=fid_detector is not None,
+                fid_detector=fid_detector, verbose=False, mesh=mesh,
+                step=eval_step)
+            train_data.update({f"test_{k_}": v for k_, v in
+                               test_results.__dict__.items()})
+            if jax.process_index() == 0:  # one jsonl log, not one per host
+                logger.info(json.dumps(train_data))
 
         if i % checkpoint_every == 0:
             sync_models()
-            ckpt.save_viscoin(models, os.path.join(
-                checkpoint_dir,
-                f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
-            ))
-            ckpt.save_train_state(state, os.path.join(checkpoint_dir, "train_state"))
+            if jax.process_index() == 0:
+                # Process-0-only writes: state/params are replicated, so every
+                # process holds identical host-readable copies and concurrent
+                # writes to the same path would race.
+                ckpt.save_viscoin(models, os.path.join(
+                    checkpoint_dir,
+                    f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
+                ))
+                ckpt.save_train_state(
+                    state, os.path.join(checkpoint_dir, "train_state"),
+                    meta=resume_meta)
 
-        if faithfulness_every and i % faithfulness_every == 0 and i > 0:
-            # 200-image amplification faithfulness probe (viscoin.py:273-295).
+        if (faithfulness_every and i % faithfulness_every == 0 and i > 0
+                and jax.process_index() == 0):
+            # 200-image amplification faithfulness probe (viscoin.py:273-295),
+            # run ONCE (process 0): the probe's jits are process-local, so on
+            # multi-host the globally-replicated bundle arrays are localized
+            # to host copies first — feeding global arrays into a local jit
+            # would make it a collective program only one process enters.
             sync_models()
+            probe_models = models
+            if jax.process_count() > 1:
+                import dataclasses as _dc
+
+                loc = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+                probe_models = _dc.replace(
+                    models,
+                    classifier_vars=loc(models.classifier_vars),
+                    concept_params=loc(models.concept_params),
+                    explainer_params=loc(models.explainer_params),
+                    gan_vars=loc(models.gan_vars),
+                )
+                # (amplify_fns close over module DEFS only — variables ride
+                # as jit arguments — so the compiled fns are reusable.)
             if amplify_fns is None:
-                amplify_fns = make_amplify_fns(models)
+                amplify_fns = make_amplify_fns(probe_models)
             ds = test_loader.dataset
             probs = []
             probe_rng = np.random.default_rng((seed, i))  # resume-deterministic
@@ -600,7 +674,7 @@ def train_viscoin(
                 img_u8 = ds[int(idx)][0]
                 x = _prep(jnp.asarray(img_u8[None]))[0]
                 res = amplify_concepts(
-                    x, models, {"method": "threshold", "threshold": 0.2},
+                    x, probe_models, {"method": "threshold", "threshold": 0.2},
                     [0.0, 1.0, 2.0, 4.0], rng=probe_rng, fns=amplify_fns,
                 )
                 probs.append(res.best_concept_probas_best[1])

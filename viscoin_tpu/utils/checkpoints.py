@@ -36,12 +36,62 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+_NPZ_NAME = "arrays.npz"
+
+
+def _path_str(entry) -> str:
+    if isinstance(entry, jax.tree_util.DictKey):
+        return str(entry.key)
+    if isinstance(entry, jax.tree_util.SequenceKey):
+        return str(entry.idx)
+    if isinstance(entry, jax.tree_util.GetAttrKey):
+        return entry.name
+    return str(entry)
+
+
+def _flat_keys(tree) -> tuple[list[str], list, Any]:
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    keys = ["/".join(_path_str(p) for p in path) for path, _ in flat]
+    return keys, [v for _, v in flat], treedef
+
+
 def save_pytree(tree: Any, path: str):
+    """Single-process: orbax. Multi-process: a flat .npz written by THE
+    CALLING process only — orbax checkpointing is a collective operation
+    (it synchronizes all JAX processes), so a process-0-guarded orbax save
+    under multi-host training deadlocks at the barrier."""
+    if jax.process_count() > 1:
+        keys, vals, _ = _flat_keys(_to_host(tree))
+        os.makedirs(_abs(path), exist_ok=True)
+        np.savez(os.path.join(_abs(path), _NPZ_NAME),
+                 **dict(zip(keys, [np.asarray(v) for v in vals])))
+        return
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(_abs(path), _to_host(tree), force=True)
 
 
+def _unflatten_npz(data) -> dict:
+    out: dict = {}
+    for key in data.files:
+        node = out
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = data[key]
+    return out
+
+
 def restore_pytree(path: str, template: Any | None = None) -> Any:
+    npz = os.path.join(_abs(path), _NPZ_NAME)
+    if os.path.exists(npz):
+        data = np.load(npz)
+        if template is None:
+            # Without a template only dict-of-dict trees reconstruct (the
+            # model-bundle format); train states carry optax namedtuples and
+            # always restore through a template.
+            return _unflatten_npz(data)
+        keys, _, treedef = _flat_keys(_to_host(template))
+        return jax.tree_util.tree_unflatten(treedef, [data[k] for k in keys])
     ckptr = ocp.PyTreeCheckpointer()
     if template is not None:
         return ckptr.restore(_abs(path), item=_to_host(template))
@@ -114,21 +164,75 @@ save_viscoin_pickle = save_viscoin
 load_viscoin_pickle = load_viscoin_bundle
 
 
-def save_train_state(state, path: str):
+_META_NAME = "train_state_meta.json"
+
+
+def _save_meta(path: str, meta: dict | None):
+    if meta is not None:
+        with open(os.path.join(_abs(path), _META_NAME), "w") as f:
+            json.dump(meta, f, indent=2)
+
+
+def _check_meta(path: str, expect_meta: dict | None):
+    meta_path = os.path.join(_abs(path), _META_NAME)
+    if expect_meta is None or not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        saved = json.load(f)
+    diffs = {k: (saved[k], v) for k, v in expect_meta.items()
+             if k in saved and saved[k] != v}
+    if diffs:
+        raise ValueError(
+            "resume mismatch vs checkpoint metadata (saved != current): "
+            + ", ".join(f"{k}: {a} != {b}" for k, (a, b) in diffs.items()))
+
+
+def save_train_state(state, path: str, meta: dict | None = None):
     """Save the full VisCoIN TrainState (step, params, both opt states) —
-    deterministic resume, which the reference lacks (SURVEY.md §5)."""
+    deterministic resume, which the reference lacks (SURVEY.md §5).
+
+    ``meta`` records the run invariants the resume-exactness contract depends
+    on (fake_presample_steps K, batch_size, seed): the sampler's per-pixel
+    noise stream is keyed per K-group, so resuming with a different K would
+    silently change the synthetic images while z stays identical."""
     save_pytree(
         {"step": state.step, "params": state.params,
          "opt_state": state.opt_state, "gan_opt_state": state.gan_opt_state},
         path,
     )
+    _save_meta(path, meta)
 
 
-def restore_train_state(state, path: str):
-    """Restore into a freshly created TrainState (shapes/treedef template)."""
+def restore_train_state(state, path: str, expect_meta: dict | None = None):
+    """Restore into a freshly created TrainState (shapes/treedef template).
+
+    ``expect_meta``: the current run's invariants; any key that was recorded
+    at save time with a different value raises (a K/batch/seed mismatch
+    breaks exact replay — fail loudly instead of diverging silently)."""
+    _check_meta(path, expect_meta)
     template = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state, "gan_opt_state": state.gan_opt_state}
     tree = restore_pytree(path, template)
     return state.replace(step=tree["step"], params=tree["params"],
                          opt_state=tree["opt_state"],
                          gan_opt_state=tree["gan_opt_state"])
+
+
+def save_gan_train_state(state, path: str, meta: dict | None = None):
+    """Save the full GANTrainState (G/D params + opt states, EMA, w_avg,
+    pl_mean, ada state) for mid-run checkpointing of `train gan` — the
+    upstream trainer snapshots pickles on a kimg cadence; this is the orbax
+    equivalent."""
+    from flax import serialization
+
+    save_pytree(serialization.to_state_dict(state), path)
+    _save_meta(path, meta)
+
+
+def restore_gan_train_state(state, path: str, expect_meta: dict | None = None):
+    """Restore into a freshly created GANTrainState template."""
+    from flax import serialization
+
+    _check_meta(path, expect_meta)
+    tree = restore_pytree(path, serialization.to_state_dict(state))
+    return serialization.from_state_dict(state, tree)
