@@ -36,7 +36,8 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 128.0  # estimated reference A100 throughput (BASELINE.md)
 
 
-def build(batch: int, compute_dtype: str = "bfloat16", mesh=None):
+def build(batch: int, compute_dtype: str = "bfloat16", mesh=None,
+          remat: str = ""):
     """Flagship-config step + sampler + state. With ``mesh``: mesh-sharded
     jits and replicated state/frozen — run_multichip measures EXACTLY the
     single-chip model (one config source, not a copy)."""
@@ -67,7 +68,8 @@ def build(batch: int, compute_dtype: str = "bfloat16", mesh=None):
     )["params"]
 
     cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
-                                cd_fid_iteration=-1, compute_dtype=compute_dtype)
+                                cd_fid_iteration=-1, compute_dtype=compute_dtype,
+                                remat=remat)
     step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh,
                                   external_fakes=True)
     sample_fakes = make_sample_fakes(generator, cfg, mesh=mesh)
@@ -81,11 +83,13 @@ def build(batch: int, compute_dtype: str = "bfloat16", mesh=None):
     return step, sample_fakes, state, frozen, cfg
 
 
-def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
+def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16",
+        remat: str = "") -> dict:
     """Times the PRODUCTION iteration: the K-step frozen-GAN presampling
     (VisCoINTrainingParams.fake_presample_steps) runs inside the timed loop,
     amortized exactly as the train loop amortizes it."""
-    step, sample_fakes, state, frozen, cfg = build(batch, compute_dtype)
+    step, sample_fakes, state, frozen, cfg = build(batch, compute_dtype,
+                                                   remat=remat)
     from viscoin_tpu.train.viscoin import fake_sample_keys
     K = max(1, cfg.fake_presample_steps)
     rng = np.random.default_rng(0)
@@ -120,13 +124,16 @@ def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16") -> dict:
     loss = sync(metrics)
     dt = (time.time() - t0) / iters
 
-    return {
+    out = {
         "batch": batch,
         "steps_per_sec": 1.0 / dt,
         "images_per_sec": batch / dt,  # real images/step, like the reference's batch accounting
         "compile_s": compile_s,
         "total_loss": loss,
     }
+    if remat:
+        out["remat"] = remat
+    return out
 
 
 def run_reconstruction(batch: int = 64, iters: int = 20) -> dict:
@@ -214,11 +221,17 @@ def fallback_ladder(batch: int) -> list[int]:
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    args = sys.argv[1:]
+    remat = ""
+    if "--remat" in args:
+        i = args.index("--remat")
+        remat = args[i + 1]
+        del args[i:i + 2]
+    batch = int(args[0]) if args else 64
     result = None
     for b in fallback_ladder(batch):
         try:
-            result = run(b)
+            result = run(b, remat=remat)
             break
         except Exception as e:  # OOM fallback
             print(f"# batch {b} failed: {type(e).__name__}: {str(e)[:200]}",
