@@ -124,6 +124,79 @@ def test_gan_step_mesh(rng):
     assert int(state.step) == 1
 
 
+def test_gan_step_with_ada(rng):
+    """Full step with the ADA pipe live (augment='ada', p>0): finite losses,
+    both nets update, ada_p/ada_rt tracked in state and metrics."""
+    generator, discriminator = _tiny_gan()
+    cfg = GANTrainingParams(batch_size=4, r1_interval=2, ppl_interval=2,
+                            augment="ada", augment_p=0.5, ada_interval=2)
+    state, g_extras = create_gan_train_state(generator, discriminator,
+                                             jax.random.PRNGKey(0), cfg, IMG)
+    assert float(state.ada_p) == 0.5
+    step = make_gan_train_step(generator, discriminator, cfg)
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+    p_seen = []
+    for i in range(3):
+        state, m = step(state, g_extras, images, jax.random.PRNGKey(20 + i))
+        assert all(np.isfinite(float(v)) for v in m.values()), m
+        p_seen.append(float(m["ada_p"]))
+    # the controller applied at least one adjustment window (interval=2)
+    assert any(p != 0.5 for p in p_seen)
+    assert 0.0 <= float(state.ada_p) <= 1.0
+
+
+def test_gan_resume_deterministic(rng, tmp_path):
+    """Train 6 steps vs train 3 + checkpoint + restore + 3: identical final
+    params (mid-run GAN checkpointing — the upstream trainer snapshots on a
+    kimg cadence; the reference consumes only final pickles)."""
+    from viscoin_tpu.utils.checkpoints import (restore_gan_train_state,
+                                               save_gan_train_state)
+
+    generator, discriminator = _tiny_gan()
+    cfg = GANTrainingParams(batch_size=4, r1_interval=2, ppl_interval=2,
+                            augment="ada", augment_p=0.3, ada_interval=2)
+    step = make_gan_train_step(generator, discriminator, cfg)
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+    base = jax.random.PRNGKey(5)
+
+    def fresh():
+        return create_gan_train_state(generator, discriminator,
+                                      jax.random.PRNGKey(0), cfg, IMG)
+
+    state, g_extras = fresh()
+    for i in range(6):
+        state, _ = step(state, g_extras, images, jax.random.fold_in(base, i))
+    unbroken = jax.tree_util.tree_map(np.asarray,
+                                      (state.g_params, state.d_params,
+                                       state.g_ema_params))
+
+    state, g_extras = fresh()
+    for i in range(3):
+        state, _ = step(state, g_extras, images, jax.random.fold_in(base, i))
+    save_gan_train_state(state, str(tmp_path / "gs"), meta={"batch_size": 4})
+
+    state, g_extras = fresh()
+    state = restore_gan_train_state(state, str(tmp_path / "gs"),
+                                    expect_meta={"batch_size": 4})
+    assert int(state.step) == 3
+    for i in range(3, 6):
+        state, _ = step(state, g_extras, images, jax.random.fold_in(base, i))
+    resumed = jax.tree_util.tree_map(np.asarray,
+                                     (state.g_params, state.d_params,
+                                      state.g_ema_params))
+    for a, b in zip(jax.tree_util.tree_leaves(unbroken),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)
+
+    # a mismatched invariant refuses to resume
+    import pytest as _pytest
+
+    state, _ = fresh()
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        restore_gan_train_state(state, str(tmp_path / "gs"),
+                                expect_meta={"batch_size": 8})
+
+
 def test_lazy_reg_optimizer_adjustment():
     """Upstream mb_ratio semantics: lr and betas adjusted by N/(N+1) for a
     regularizer on an every-N cadence (stylegan2-ada train.py)."""

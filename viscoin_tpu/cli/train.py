@@ -62,10 +62,17 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "resolution; 16384 is the reference 256² config)")
 @click.option("--channel-max", type=int, default=512,
               help="[gan] StyleGAN2 channel cap per layer")
+@click.option("--fid-detector", "fid_detector_path", type=click.Path(exists=True),
+              default=None,
+              help="[viscoin] FID feature detector: a ported orbax dir "
+                   "(pytorch-fid or inception-nvlabs convention, "
+                   "auto-detected) or the NVlabs TorchScript "
+                   "inception-2015-12-05.pt itself (bit-exact, host CPU). "
+                   "Default: checkpoints/inception if present")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, debug_nans, resume_from, profile_dir,
-          channel_base, channel_max):
+          channel_base, channel_max, fid_detector_path):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -81,10 +88,11 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
         case "viscoin":
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
-                           profile_dir)
+                           profile_dir, fid_detector_path)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
-                       data_parallel, output_weights, channel_base, channel_max)
+                       data_parallel, output_weights, channel_base, channel_max,
+                       resume_from=resume_from)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -161,11 +169,15 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
 
 def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                data_parallel, output_weights, channel_base=16384,
-               channel_max=512):
+               channel_max=512, resume_from=None, checkpoint_every=10_000,
+               seed=0):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
-    `train viscoin` consumes as the pretrained GAN, plus jsonl metrics."""
+    `train viscoin` consumes as the pretrained GAN, plus jsonl metrics.
+    Checkpoints the full GANTrainState every ``checkpoint_every`` iterations
+    (next to --output-weights as <output>.train_state) and resumes
+    deterministically with --resume, like `train viscoin`."""
     import json
 
     import jax.numpy as jnp
@@ -205,16 +217,30 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     logger = get_logger()
 
     state, g_extras = create_gan_train_state(generator, discriminator,
-                                             jax.random.PRNGKey(0), cfg, size)
+                                             jax.random.PRNGKey(seed), cfg, size)
     mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
     step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
     if mesh is not None:
         state = replicate(mesh, state)
         g_extras = replicate(mesh, g_extras)
 
+    state_path = f"{output_weights}.train_state"
+    resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
+                   "augment": cfg.augment}
+    if resume_from:
+        state = ckpt.restore_gan_train_state(state, resume_from,
+                                             expect_meta=resume_meta)
+
     it = loop_iter(train_loader)
-    base_rng = jax.random.PRNGKey(0)
-    for i in range(cfg.iterations):
+    base_rng = jax.random.PRNGKey(seed)
+    start = int(jax.device_get(state.step))
+    if start and hasattr(train_loader, "skip_batches"):
+        # Replay position (deterministic resume, exactly like train_viscoin):
+        # only full batches become steps.
+        steps_per_epoch = len(train_loader.dataset) // cfg.batch_size
+        epochs_done, rem = divmod(start, steps_per_epoch)
+        train_loader.skip_batches(epochs_done * len(train_loader) + rem)
+    for i in range(start, cfg.iterations):
         images, _ = next(it)
         while images.shape[0] != cfg.batch_size:  # shape stability under jit
             images, _ = next(it)
@@ -225,14 +251,48 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         if i % 100 == 0 or i == cfg.iterations - 1:
             logger.info(json.dumps(
                 {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
+        if checkpoint_every and i > start and i % checkpoint_every == 0 \
+                and jax.process_index() == 0:
+            ckpt.save_gan_train_state(state, state_path, meta=resume_meta)
 
-    ckpt.save_pytree(export_generator_vars(state, g_extras), output_weights)
-    click.echo(f"saved EMA generator variables to {output_weights}")
+    if jax.process_index() == 0:
+        ckpt.save_gan_train_state(state, state_path, meta=resume_meta)
+        ckpt.save_pytree(export_generator_vars(state, g_extras), output_weights)
+        click.echo(f"saved EMA generator variables to {output_weights} "
+                   f"(+ resumable train state at {state_path})")
+
+
+def _load_fid_detector(path: str):
+    """Resolve the pluggable FID detector seam: the NVlabs TorchScript file
+    (.pt → bit-exact host wrapper), a ported NVlabs-convention orbax dir
+    (fid_convention.json marker), or a pytorch-fid-convention orbax dir."""
+    import json
+    import os
+
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    if path.endswith(".pt"):
+        from viscoin_tpu.models.inception import make_torchscript_fid_detector
+
+        click.echo(f"FID: exact NVlabs TorchScript detector ({path}, host CPU)")
+        return make_torchscript_fid_detector(path)
+    marker = os.path.join(path, "fid_convention.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            convention = json.load(f).get("convention")
+        if convention == "nvlabs":
+            from viscoin_tpu.models.inception import make_nvlabs_fid_detector
+
+            click.echo(f"FID: ported NVlabs-convention detector ({path})")
+            return make_nvlabs_fid_detector(ckpt.restore_pytree(path))
+    from viscoin_tpu.models.inception import make_fid_detector
+
+    return make_fid_detector(ckpt.restore_pytree(path))
 
 
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
-                   profile_dir=None):
+                   profile_dir=None, fid_detector_path=None):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
@@ -291,16 +351,16 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
         )["params"]
 
     # FID in the every-2000-it eval (reference: testing/viscoin.py:84-90 with
-    # the downloaded Inception detector; here a local ported checkpoint).
+    # the downloaded Inception detector; here a local ported checkpoint, the
+    # ported NVlabs convention, or the NVlabs TorchScript file itself).
     fid_detector = None
-    inception_path = "checkpoints/inception"
+    inception_path = fid_detector_path or "checkpoints/inception"
     if os.path.exists(inception_path):
-        from viscoin_tpu.models.inception import make_fid_detector
-
-        fid_detector = make_fid_detector(ckpt.restore_pytree(inception_path))
+        fid_detector = _load_fid_detector(inception_path)
     else:
         click.echo("NOTE: no checkpoints/inception — in-training eval skips FID "
-                   "(port weights with scripts/port_weights.py inception).")
+                   "(port weights with scripts/port_weights.py inception, or "
+                   "pass --fid-detector).")
 
     mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
     train_viscoin(models, generator, gvars, lpips, lparams,

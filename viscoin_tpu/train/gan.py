@@ -17,6 +17,8 @@ the full StyleGAN2 objective:
     README.md:209-223) so truncation works on in-framework-trained
     generators,
   * generator weight EMA (half-life ``ema_kimg`` thousand images),
+  * adaptive discriminator augmentation (train/augment.py — the upstream
+    trainer's namesake ADA pipe + r_t controller, default on),
   * optional data-parallel ``mesh`` like the VisCoIN step.
 
 Both lazy regularizers run under ``lax.cond`` so the off-cadence steps do
@@ -55,6 +57,17 @@ class GANTrainingParams(IgnoreNone):
     ema_kimg: float = 10.0  # generator weight EMA half-life (thousand imgs)
     batch_size: int = 16
 
+    # ADA (upstream stylegan2-ada-pytorch's namesake): "ada" = adaptive
+    # discriminator augmentation (p starts at augment_p and tracks
+    # r_t = E[sign(D(real))] toward ada_target), "fixed" = constant
+    # augment_p, "none" = no augmentation. CUB (~6k images) is exactly the
+    # small-data regime ADA exists for.
+    augment: str = "ada"
+    augment_p: float = 0.0  # initial ("ada") or constant ("fixed") p
+    ada_target: float = 0.6
+    ada_interval: int = 4  # adjust p every N steps
+    ada_kimg: float = 500.0  # p moves by (batch·interval)/(kimg·1000) per adjust
+
 
 class GANTrainState(struct.PyTreeNode):
     step: jax.Array
@@ -65,6 +78,8 @@ class GANTrainState(struct.PyTreeNode):
     g_ema_params: Any  # EMA of g_params (the weights upstream pickles ship)
     w_avg: jax.Array  # tracked mean of mapping outputs (truncation anchor)
     pl_mean: jax.Array  # EMA of path lengths (PPL target)
+    ada_p: jax.Array  # adaptive augmentation probability
+    ada_rt: jax.Array  # r_t = E[sign(D(real))] accumulator (ada_interval window)
 
 
 def _optimizers(cfg: GANTrainingParams):
@@ -99,6 +114,8 @@ def create_gan_train_state(generator, discriminator, rng, cfg: GANTrainingParams
         g_ema_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
         w_avg=jnp.zeros((generator.w_dim,), jnp.float32),
         pl_mean=jnp.zeros((), jnp.float32),
+        ada_p=jnp.asarray(cfg.augment_p, jnp.float32),
+        ada_rt=jnp.zeros((), jnp.float32),
     )
     # Non-param collections ride along on every apply. The moving_stats copy
     # in here stays at its init value — the LIVE w_avg is tracked in
@@ -152,7 +169,21 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
                                    ws, noise_mode="random"),
                                rngs={"noise": rng})
 
-    def g_loss_fn(g_params, g_extras, d_params, z, z_mix, cutoff, k_noise):
+    from viscoin_tpu.train.augment import ada_update, augment as augment_pipe
+
+    if cfg.augment not in ("ada", "fixed", "none"):
+        raise ValueError(f"augment={cfg.augment!r}: expected ada|fixed|none")
+    use_aug = cfg.augment != "none"
+
+    def run_d(d_params, images, aug_p, k_aug):
+        """D with the ADA pipe in front (upstream run_D semantics: BOTH real
+        and fake batches are augmented before the discriminator)."""
+        if use_aug:
+            images = augment_pipe(images, aug_p, k_aug)
+        return discriminator.apply({"params": d_params}, images)
+
+    def g_loss_fn(g_params, g_extras, d_params, z, z_mix, cutoff, k_noise,
+                  aug_p, k_aug):
         ws = map_ws(g_params, g_extras, z)
         # Style mixing: layers >= cutoff take styles from a second latent
         # (scalar cutoff per step; cutoff == num_ws means no mixing).
@@ -160,7 +191,7 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         layer = jnp.arange(ws.shape[1])[None, :, None]
         ws_used = jnp.where(layer >= cutoff, ws_mix, ws)
         fake = synth(g_params, g_extras, ws_used, k_noise)
-        logits = discriminator.apply({"params": d_params}, fake)
+        logits = run_d(d_params, fake, aug_p, k_aug)
         # non-saturating G loss; aux: batch-mean mapping output for w_avg
         return jnp.mean(jax.nn.softplus(-logits)), jnp.mean(ws[:, 0], axis=0)
 
@@ -185,29 +216,33 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         scaled = penalty * cfg.ppl_weight * cfg.ppl_interval
         return scaled, (jnp.mean(pl_lengths), new_pl_mean)
 
-    def d_loss_fn(d_params, g_params, g_extras, real, z, k_noise, do_r1):
+    def d_loss_fn(d_params, g_params, g_extras, real, z, k_noise, do_r1,
+                  aug_p, k_aug_f, k_aug_r):
         ws = map_ws(g_params, g_extras, z)
         fake = synth(g_params, g_extras, ws, k_noise)
-        fake_logits = discriminator.apply({"params": d_params}, fake)
-        real_logits = discriminator.apply({"params": d_params}, real)
+        fake_logits = run_d(d_params, fake, aug_p, k_aug_f)
+        real_logits = run_d(d_params, real, aug_p, k_aug_r)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
             jax.nn.softplus(-real_logits))
 
         # Lazy R1 gradient penalty: only the on-cadence branch executes.
+        # Differentiates through the (same-draw) augmentation, like the
+        # upstream Dr1 branch runs the penalty through run_D's pipe.
         def r1_term(real):
             def d_sum(x):
-                return jnp.sum(discriminator.apply({"params": d_params}, x))
+                return jnp.sum(run_d(d_params, x, aug_p, k_aug_r))
 
             grad_real = jax.grad(d_sum)(real)
             return jnp.mean(jnp.sum(jnp.square(grad_real), axis=(1, 2, 3)))
 
         r1 = jax.lax.cond(do_r1, r1_term, lambda real: jnp.zeros(()), real)
         loss = loss + (cfg.r1_gamma / 2) * r1 * cfg.r1_interval
-        return loss, r1
+        # aux r_t: the ADA overfitting signal E[sign(D(real))].
+        return loss, (r1, jnp.mean(jnp.sign(real_logits)))
 
     def step(state: GANTrainState, g_extras, images_u8, rng):
         (k_flip, kz1, kz1m, kz2, kzp, kn1, kn2, knp, kmix, kcut,
-         kpl) = jax.random.split(rng, 11)
+         kpl, ka_g, ka_df, ka_dr) = jax.random.split(rng, 14)
         if preprocess:
             # GANs train on [-1, 1] images
             x = images_u8.astype(jnp.float32) / 127.5 - 1.0
@@ -216,6 +251,8 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         else:
             x = images_u8
         B = x.shape[0]
+        aug_p = (state.ada_p if cfg.augment == "ada"
+                 else jnp.asarray(cfg.augment_p, jnp.float32))
 
         # G main step (with style mixing).
         z = jax.random.normal(kz1, (B, generator.z_dim))
@@ -223,7 +260,8 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         mix = jax.random.bernoulli(kmix, cfg.style_mixing_prob)
         cutoff = jnp.where(mix, jax.random.randint(kcut, (), 1, num_ws), num_ws)
         (g_loss, ws_mean), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, g_extras, state.d_params, z, z_mix, cutoff, kn1)
+            state.g_params, g_extras, state.d_params, z, z_mix, cutoff, kn1,
+            aug_p, ka_g)
 
         # Lazy PPL: add its gradient on-cadence (both branches compiled,
         # one executed).
@@ -249,10 +287,23 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         # D step with lazy R1.
         z = jax.random.normal(kz2, (B, generator.z_dim))
         do_r1 = state.step % cfg.r1_interval == 0
-        (d_loss, r1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params, g_params, g_extras, x, z, kn2, do_r1)
+        (d_loss, (r1, rt_batch)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(
+            state.d_params, g_params, g_extras, x, z, kn2, do_r1,
+            aug_p, ka_df, ka_dr)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ADA controller: nudge p toward r_t == target every ada_interval
+        # steps (pure in-graph arithmetic; p is traced, so adaptation never
+        # recompiles).
+        if cfg.augment == "ada":
+            ada_p, ada_rt = ada_update(
+                state.ada_p, state.ada_rt, rt_batch, state.step, B,
+                target=cfg.ada_target, interval=cfg.ada_interval,
+                kimg=cfg.ada_kimg)
+        else:
+            ada_p, ada_rt = state.ada_p, state.ada_rt
 
         # w_avg tracking (reference w_avg_beta=0.995): lerp(batch mean, w_avg).
         w_avg = ws_mean * (1 - cfg.w_avg_beta) + state.w_avg * cfg.w_avg_beta
@@ -265,9 +316,11 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         new_state = state.replace(
             step=state.step + 1, g_params=g_params, d_params=d_params,
             g_opt_state=g_opt_state, d_opt_state=d_opt_state,
-            g_ema_params=g_ema, w_avg=w_avg, pl_mean=new_pl_mean)
+            g_ema_params=g_ema, w_avg=w_avg, pl_mean=new_pl_mean,
+            ada_p=ada_p, ada_rt=ada_rt)
         metrics = {"g_loss": g_loss, "d_loss": d_loss, "r1": r1,
-                   "pl_lengths": pl_len, "pl_mean": new_pl_mean}
+                   "pl_lengths": pl_len, "pl_mean": new_pl_mean,
+                   "ada_p": ada_p, "ada_rt": rt_batch}
         return new_state, metrics
 
     from viscoin_tpu.parallel.mesh import tpu_compiler_options
