@@ -197,11 +197,85 @@ def main():
     elif kind == "inception":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
         out = porting.convert_torch_inception(porting.state_dict_to_numpy(sd))
+    elif kind == "inception-nvlabs":
+        out = port_inception_nvlabs(src, dst)
+        return
     else:
         raise SystemExit(f"unknown kind: {kind}")
 
     save_pytree(out, dst)
     print(f"ported {kind}: {src} -> {dst}")
+
+
+def port_inception_nvlabs(src: str, dst: str, verify: bool = True):
+    """Convert the NVlabs TorchScript FID detector (inception-2015-12-05.pt,
+    reference: viscoin/testing/viscoin.py:85-88) and SELF-VERIFY the
+    conversion numerically against the TorchScript module before saving:
+
+      * at 299² input (the resize is identity there) the converted Flax
+        features must match the TorchScript features — proves the weight
+        mapping and the (x−128)/128 scaling;
+      * at 256² (the eval resolution, exercising the internal TF1 resize) a
+        mismatch prints the measured deviation as a WARNING rather than
+        failing, since the resize path tolerates small convention drift.
+
+    On verification failure the port aborts with a pointer to
+    ``make_torchscript_fid_detector`` (bit-exact, host-CPU)."""
+    import json as _json
+
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+
+    from viscoin_tpu.models.inception import (
+        InceptionV3Features,
+        nvlabs_fid_preprocess,
+    )
+    from viscoin_tpu.utils import porting
+    from viscoin_tpu.utils.checkpoints import _abs, save_pytree
+
+    mod = torch.jit.load(src, map_location="cpu").eval()
+    out = porting.convert_torchscript_inception(mod)
+    model = InceptionV3Features()
+
+    def flax_features(x_nhwc):
+        return np.asarray(model.apply(
+            {"params": out["params"], "batch_stats": out["batch_stats"]},
+            nvlabs_fid_preprocess(jnp.asarray(x_nhwc))))
+
+    def ts_features(x_nhwc):
+        t = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+        with torch.no_grad():
+            try:
+                return mod(t, return_features=True).numpy()
+            except (TypeError, RuntimeError):
+                return mod(t).numpy()
+
+    if verify:
+        rng = np.random.default_rng(0)
+        x299 = rng.uniform(-2.1, 2.6, (2, 299, 299, 3)).astype(np.float32)
+        want, got = ts_features(x299), flax_features(x299)
+        err = np.abs(want - got).max() / max(np.abs(want).max(), 1e-8)
+        if err > 1e-2:
+            raise SystemExit(
+                f"self-verification FAILED at 299² (rel err {err:.2e}): the "
+                "export's layout or scaling does not match the assumed NVlabs "
+                "convention. Use the bit-exact host path instead: "
+                "viscoin_tpu.models.inception.make_torchscript_fid_detector("
+                f"{src!r})")
+        x256 = rng.uniform(-2.1, 2.6, (2, 256, 256, 3)).astype(np.float32)
+        err256 = (np.abs(ts_features(x256) - flax_features(x256)).max()
+                  / max(np.abs(want).max(), 1e-8))
+        if err256 > 1e-2:
+            print(f"WARNING: 256²-input deviation {err256:.2e} (internal "
+                  "resize convention drift); 299² verification passed")
+        print(f"self-verified: 299² rel err {err:.2e}, 256² rel err {err256:.2e}")
+
+    save_pytree(out, dst)
+    with open(os.path.join(_abs(dst), "fid_convention.json"), "w") as f:
+        _json.dump({"convention": "nvlabs"}, f)
+    print(f"ported inception-nvlabs: {src} -> {dst}")
+    return out
 
 
 if __name__ == "__main__":

@@ -36,6 +36,75 @@ def test_clip_image_parity(hf_model, rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-4)
 
 
+def _photo_like(rng, h, w):
+    """Structured natural-image stand-in: smooth gradients + blobs + noise
+    (pure noise would overstate resampler differences; flat images would
+    understate them)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        0.5 + 0.4 * np.sin(xx / 23.0) * np.cos(yy / 17.0),
+        0.5 + 0.3 * np.cos(xx / 31.0 + yy / 13.0),
+        0.4 + 0.4 * np.sin((xx + yy) / 41.0),
+    ], axis=-1)
+    cy, cx = rng.uniform(0.2, 0.8) * h, rng.uniform(0.2, 0.8) * w
+    blob = np.exp(-(((yy - cy) / (0.15 * h)) ** 2 + ((xx - cx) / (0.15 * w)) ** 2))
+    img += 0.3 * blob[..., None]
+    img += rng.normal(0, 0.02, img.shape)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def test_clip_preprocess_pil_exact_geometry(rng):
+    """clip_preprocess_pil == the clip.load transform: PIL bicubic short-side
+    resize to 224 + center crop 224 + normalize, verified against independent
+    PIL calls on a non-square image (reference: viscoin/models/clip.py:38)."""
+    from PIL import Image
+
+    from viscoin_tpu.models.clip import CLIP_MEAN, CLIP_STD, clip_preprocess_pil
+
+    raw = _photo_like(rng, 300, 467)
+    got = clip_preprocess_pil(raw)
+    assert got.shape == (224, 224, 3)
+
+    img = Image.fromarray(raw)
+    img = img.resize((round(467 * 224 / 300), 224), Image.BICUBIC)
+    left = (img.size[0] - 224) // 2
+    ref = np.asarray(img.crop((left, 0, left + 224, 224)), np.float32) / 255.0
+    ref = (ref - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_clip_preprocess_drift_bound(hf_model, rng):
+    """Measured bound for PARITY #6: embedding cosine between the EXACT
+    clip.load geometry (clip_preprocess_pil on the original image) and the
+    device fallback (256² test-crop → bilinear 224) through a real ViT-B/32
+    tower. The exact path is the default whenever the dataset exposes
+    original images, so this bound applies only to the fallback."""
+    import jax
+
+    from viscoin_tpu.models.clip import (CLIP, clip_preprocess_pil,
+                                         clip_preprocess_u8)
+    from viscoin_tpu.data.transforms import host_test_transform
+
+    params = convert_hf_clip(state_dict_to_numpy(hf_model.state_dict()))
+    clip = CLIP()
+
+    raws = [_photo_like(rng, 375, 500) for _ in range(4)]
+    exact = np.stack([clip_preprocess_pil(r) for r in raws])
+    fallback_u8 = np.stack([np.asarray(host_test_transform(r)) for r in raws])
+
+    e1 = np.asarray(jax.jit(lambda p, x: clip.apply(
+        {"params": p}, x, method=clip.encode_image))(params, jnp.asarray(exact)))
+    e2 = np.asarray(jax.jit(lambda p, u8: clip.apply(
+        {"params": p}, clip_preprocess_u8(u8), method=clip.encode_image))(
+        params, jnp.asarray(fallback_u8)))
+
+    cos = np.sum(e1 * e2, 1) / (np.linalg.norm(e1, axis=1)
+                                * np.linalg.norm(e2, axis=1))
+    print(f"device-fallback vs exact-clip.load embedding cosine: "
+          f"min {cos.min():.4f} mean {cos.mean():.4f}")
+    assert cos.min() > 0.90  # measured ~0.99 on photo-like inputs; see PARITY
+
+
 def test_clip_text_parity(hf_model, rng):
     tokens = np.zeros((2, 77), np.int64)
     tokens[:, 0] = 49406  # BOS

@@ -220,6 +220,27 @@ def test_generator_adapted_low_res256():
     assert img.shape == (1, 256, 256, 3)
 
 
+def test_low_res256_resize_matches_torchvision():
+    """The low_res256 crop+resize must match the reference's torchvision
+    ``Resize((256, 256))`` on tensors (antialiased bilinear, the torchvision
+    default since 0.17) — jax.image.resize defaults to antialias=True and
+    agrees to float32 rounding (~2.4e-7 measured on this geometry)."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 512, 512)).astype(np.float32)
+    # reference pipeline: CenterCrop((384, 512)) then Resize((256, 256))
+    t = torch.from_numpy(x)[:, :, 64 : 64 + 384, :]
+    t = F.interpolate(t, size=(256, 256), mode="bilinear", antialias=True)
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    yj = xj[:, 64 : 64 + 384, :, :]
+    yj = jax.image.resize(yj, (2, 256, 256, 3), "bilinear")
+    np.testing.assert_allclose(np.asarray(yj),
+                               t.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-5, atol=2e-6)
+
+
 def test_discriminator_forward_and_grads():
     from viscoin_tpu.models.stylegan import Discriminator
 

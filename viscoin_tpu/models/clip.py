@@ -152,9 +152,9 @@ class CLIP(nn.Module):
 
 def clip_preprocess_u8(images_u8: jax.Array) -> jax.Array:
     """Device-side CLIP preprocessing of uint8 NHWC batches: bilinear resize
-    to 224², scale to [0,1], CLIP-normalize. (The pip package resizes with
-    PIL bicubic on host; parity of ported embeddings is dominated by weights,
-    not the resampler — documented divergence.)"""
+    to 224², scale to [0,1], CLIP-normalize. Fallback path for datasets
+    without original-image access; :func:`clip_preprocess_pil` is the
+    exact-geometry path (measured drift bound in PARITY.md #6)."""
     x = images_u8.astype(jnp.float32) / 255.0
     B, H, W, C = x.shape
     if (H, W) != (CLIP_IMAGE_SIZE, CLIP_IMAGE_SIZE):
@@ -162,6 +162,34 @@ def clip_preprocess_u8(images_u8: jax.Array) -> jax.Array:
     mean = jnp.asarray(CLIP_MEAN)
     std = jnp.asarray(CLIP_STD)
     return (x - mean) / std
+
+
+def clip_preprocess_pil(raw_u8: "np.ndarray") -> "np.ndarray":
+    """EXACT ``clip.load`` preprocessing of one original image (reference:
+    viscoin/models/clip.py:38 feeds the dataloaders ``self.preprocess``):
+    PIL bicubic short-side resize to 224 → center crop 224 → [0,1] →
+    CLIP-normalize. The pip package's transform is torchvision Resize/
+    CenterCrop on PIL images, whose PIL backend this reproduces
+    pixel-exactly (same Image.resize BICUBIC call, same crop box).
+
+    Args: raw_u8 (H, W, 3) uint8. Returns (224, 224, 3) float32 normalized.
+    """
+    from PIL import Image
+
+    img = Image.fromarray(raw_u8).convert("RGB")
+    w, h = img.size
+    short = min(w, h)
+    # torchvision Resize(224): short side -> 224, aspect preserved (round)
+    nw, nh = ((CLIP_IMAGE_SIZE, round(h * CLIP_IMAGE_SIZE / short)) if w <= h
+              else (round(w * CLIP_IMAGE_SIZE / short), CLIP_IMAGE_SIZE))
+    img = img.resize((nw, nh), Image.BICUBIC)
+    # torchvision CenterCrop(224)
+    left = (nw - CLIP_IMAGE_SIZE) // 2
+    top = (nh - CLIP_IMAGE_SIZE) // 2
+    img = img.crop((left, top, left + CLIP_IMAGE_SIZE, top + CLIP_IMAGE_SIZE))
+    x = np.asarray(img, np.float32) / 255.0
+    return ((x - np.asarray(CLIP_MEAN, np.float32))
+            / np.asarray(CLIP_STD, np.float32))
 
 
 def _img_cache(mode: str, dataset: str, kind: str) -> str:
@@ -177,7 +205,12 @@ def _txt_cache(key: str, dataset: str, kind: str) -> str:
 def compute_image_embeddings(clip: CLIP, dataset_name: str, train_ds, test_ds,
                              params=None, batch_size: int = 32):
     """CLIP image embeddings for both splits, disk-cached
-    (reference: clip.py:49-107)."""
+    (reference: clip.py:49-107).
+
+    When the dataset exposes original decoded images (``raw_image``, like
+    the reference feeding PIL images to ``clip.load``'s transform), the
+    EXACT preprocessing geometry runs on host (:func:`clip_preprocess_pil`);
+    otherwise the device bilinear path is used."""
     tr_cache = _img_cache("train", dataset_name, clip.kind)
     te_cache = _img_cache("test", dataset_name, clip.kind)
     if os.path.exists(tr_cache) and os.path.exists(te_cache):
@@ -191,16 +224,26 @@ def compute_image_embeddings(clip: CLIP, dataset_name: str, train_ds, test_ds,
         return clip.apply({"params": params}, clip_preprocess_u8(u8),
                           method=clip.encode_image)
 
+    @jax.jit
+    def encode_pre(params, x):
+        return clip.apply({"params": params}, x, method=clip.encode_image)
+
     def run(ds):
         out = []
         n = len(ds)
+        exact = hasattr(ds, "raw_image")
         for s in range(0, n, batch_size):
             idx = range(s, min(s + batch_size, n))
-            batch = np.stack([ds[i][0] for i in idx])
+            if exact:
+                batch = np.stack([clip_preprocess_pil(ds.raw_image(i))
+                                  for i in idx])
+            else:
+                batch = np.stack([ds[i][0] for i in idx])
             if batch.shape[0] < batch_size:
                 pad = batch_size - batch.shape[0]
                 batch = np.concatenate([batch, np.repeat(batch[:1], pad, axis=0)])
-            out.append(np.asarray(encode(params, jnp.asarray(batch)))[: len(idx)])
+            enc = encode_pre if exact else encode
+            out.append(np.asarray(enc(params, jnp.asarray(batch)))[: len(idx)])
         return np.concatenate(out)
 
     train_emb, test_emb = run(train_ds), run(test_ds)

@@ -535,6 +535,9 @@ class GeneratorAdapted(nn.Module):
         if self.low_res256:
             # center-crop to (384, 512) then resize to 256² (reference:
             # gan.py:66-68,102-103 — only used by a specific baseline model).
+            # jax.image.resize defaults to antialias=True, which matches the
+            # reference's torchvision Resize (antialias default since 0.17)
+            # to 2.4e-7 max-abs on this geometry (test_stylegan.py twin).
             H, W = img.shape[1], img.shape[2]
             top, left = (H - 384) // 2, (W - 512) // 2
             img = img[:, top : top + 384, left : left + 512, :]

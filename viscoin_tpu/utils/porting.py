@@ -225,6 +225,109 @@ def convert_torch_inception(sd: dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _inception_unit_order() -> list[tuple[str, ...]]:
+    """The 94 conv+bn units of InceptionV3Features in EXECUTION order (the
+    order the TF-slim graph — and hence the NVlabs TorchScript trace —
+    instantiates them)."""
+    order: list[tuple[str, ...]] = [("Conv2d_1a_3x3",), ("Conv2d_2a_3x3",),
+                                    ("Conv2d_2b_3x3",), ("Conv2d_3b_1x1",),
+                                    ("Conv2d_4a_3x3",)]
+    A = ["branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+         "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"]
+    B = ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"]
+    C = ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+         "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+         "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"]
+    D = ["branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
+         "branch7x7x3_3", "branch7x7x3_4"]
+    E = ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+         "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+         "branch3x3dbl_3b", "branch_pool"]
+    blocks = [("Mixed_5b", A), ("Mixed_5c", A), ("Mixed_5d", A),
+              ("Mixed_6a", B), ("Mixed_6b", C), ("Mixed_6c", C),
+              ("Mixed_6d", C), ("Mixed_6e", C), ("Mixed_7a", D),
+              ("Mixed_7b", E), ("Mixed_7c", E)]
+    for name, branches in blocks:
+        order.extend((name, b) for b in branches)
+    return order
+
+
+def convert_torchscript_inception(ts_module) -> dict:
+    """Convert the NVlabs TorchScript FID detector (`inception-2015-12-05.pt`,
+    reference: viscoin/testing/viscoin.py:85-88) into variables for
+    :class:`viscoin_tpu.models.inception.InceptionV3Features`.
+
+    The TorchScript trace's parameter/buffer iteration follows the TF graph's
+    topological order, which is the execution order of our units
+    (:func:`_inception_unit_order`): the i-th 4-d conv kernel and the i-th BN
+    running-stat pair map onto the i-th unit. Every kernel shape is validated
+    against the architecture, and ``scripts/port_weights.py inception-nvlabs``
+    additionally self-verifies the conversion numerically against the
+    TorchScript module before saving — a silent mis-mapping cannot survive.
+    TF-slim BN has no scale parameter; missing gammas become ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from viscoin_tpu.models.inception import InceptionV3Features
+
+    convs: list[np.ndarray] = []
+    bn_units: dict[str, dict[str, np.ndarray]] = {}
+    bn_order: list[str] = []
+    for name, p in ts_module.named_parameters():
+        arr = p.detach().cpu().numpy()
+        if arr.ndim == 4:
+            convs.append(arr)
+        elif arr.ndim == 1:
+            prefix, leaf = name.rsplit(".", 1)
+            bn_units.setdefault(prefix, {})[leaf] = arr
+    for name, b in ts_module.named_buffers():
+        arr = b.detach().cpu().numpy()
+        prefix, leaf = name.rsplit(".", 1)
+        if leaf in ("running_mean", "running_var"):
+            if leaf == "running_mean":
+                bn_order.append(prefix)
+            bn_units.setdefault(prefix, {})[leaf] = arr
+
+    units = _inception_unit_order()
+    if len(convs) != len(units) or len(bn_order) != len(units):
+        raise ValueError(
+            f"expected {len(units)} conv+bn units, found {len(convs)} convs "
+            f"and {len(bn_order)} batch-norms — not an InceptionV3 FID "
+            "detector export")
+
+    # Expected kernel shapes from the architecture (no compute: eval_shape).
+    model = InceptionV3Features()
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 299, 299, 3))),
+        jax.random.PRNGKey(0))
+
+    params: dict = {}
+    stats: dict = {}
+    for i, path in enumerate(units):
+        kernel = _conv(convs[i])  # OIHW -> HWIO
+        exp = shapes["params"]
+        for part in path:
+            exp = exp[part]
+        want = tuple(exp["conv"]["kernel"].shape)
+        if tuple(kernel.shape) != want:
+            raise ValueError(
+                f"unit {'/'.join(path)}: kernel shape {kernel.shape} != "
+                f"expected {want} — the export's parameter order does not "
+                "match the TF graph topology")
+        bn = bn_units[bn_order[i]]
+        n = kernel.shape[-1]
+        bn_p = {"scale": bn.get("weight", np.ones(n, np.float32)),
+                "bias": bn.get("bias", np.zeros(n, np.float32))}
+        bn_s = {"mean": bn["running_mean"], "var": bn["running_var"]}
+        p_node, s_node = params, stats
+        for part in path[:-1]:
+            p_node = p_node.setdefault(part, {})
+            s_node = s_node.setdefault(part, {})
+        p_node[path[-1]] = {"conv": {"kernel": kernel}, "bn": bn_p}
+        s_node[path[-1]] = {"bn": bn_s}
+    return {"params": params, "batch_stats": stats}
+
+
 # ---------------------------------- CLIP ----------------------------------- #
 
 
