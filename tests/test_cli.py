@@ -117,6 +117,41 @@ def test_cli_train_gan_synthetic(tmp_path, monkeypatch):
     assert img.shape == (1, 32, 32, 3) and bool(jnp.all(jnp.isfinite(img)))
 
 
+def test_cli_train_gan_resume(tmp_path, monkeypatch):
+    """`train gan --resume`: the saved train state (written next to
+    --output-weights) resumes mid-run — the loop starts at the saved step
+    and a mismatched batch size refuses (invariant metadata)."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    runner = CliRunner()
+    args = ["train", "gan", "--dataset", "synthetic", "--batch-size", "4",
+            "--no-data-parallel", "--channel-base", "256", "--channel-max", "16",
+            "--output-weights", "gan-synth"]
+    result = runner.invoke(main, args + ["--epochs", "2"])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "gan-synth.train_state").is_dir()
+
+    # resume to 3 iterations: exactly one more step runs (jsonl logs it 2)
+    result = runner.invoke(main, args + ["--epochs", "3", "--resume",
+                                         "gan-synth.train_state"])
+    assert result.exit_code == 0, result.output
+    records = [json.loads(line)
+               for line in (tmp_path / "gan_3.jsonl").read_text().splitlines()]
+    assert [r["iteration"] for r in records] == [2]
+
+    # invariant mismatch refuses
+    result = runner.invoke(main, [
+        "train", "gan", "--dataset", "synthetic", "--batch-size", "8",
+        "--no-data-parallel", "--channel-base", "256", "--channel-max", "16",
+        "--output-weights", "gan-synth", "--epochs", "4",
+        "--resume", "gan-synth.train_state"])
+    assert result.exit_code != 0
+    assert "resume mismatch" in str(result.exception)
+
+
 def test_cli_logs_gan_schema(tmp_path):
     """`logs` plots `train gan` jsonl (capability extension — the reference
     has no GAN-training logs)."""

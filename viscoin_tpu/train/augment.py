@@ -122,17 +122,34 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
 
     def warp(img, inv_m, t, skip):
-        # output pixel (x, y) pulls from inv_m @ ((x, y) - t - c) + c
+        # output pixel (x, y) pulls from inv_m @ ((x, y) - t - c) + c.
+        # Bilinear sampling as ONE all-channel gather per corner (4 total)
+        # with per-corner zero-padding masks — identical semantics to
+        # map_coordinates(order=1, mode="constant") but without the
+        # per-channel gather loop (3x fewer gathers; gathers dominate the
+        # augment cost on TPU).
         dx = xx - cx - t[0]
         dy = yy - cy - t[1]
         sx = inv_m[0, 0] * dx + inv_m[0, 1] * dy + cx
         sy = inv_m[1, 0] * dx + inv_m[1, 1] * dy + cy
-        coords = jnp.stack([sy, sx])  # map_coordinates order: (row, col)
-        warped = jnp.stack([
-            jax.scipy.ndimage.map_coordinates(img[..., c_], coords, order=1,
-                                              mode="constant", cval=0.0)
-            for c_ in range(C)
-        ], axis=-1)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        wx = (sx - x0)[..., None]
+        wy = (sy - y0)[..., None]
+
+        def corner(yi, xi):
+            inb = ((yi >= 0) & (yi <= H - 1) & (xi >= 0)
+                   & (xi <= W - 1))[..., None]
+            yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+            xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            return img[yc, xc] * inb  # (H, W, C) advanced-index gather
+
+        p00 = corner(y0, x0)
+        p01 = corner(y0, x0 + 1)
+        p10 = corner(y0 + 1, x0)
+        p11 = corner(y0 + 1, x0 + 1)
+        warped = ((1 - wy) * ((1 - wx) * p00 + wx * p01)
+                  + wy * ((1 - wx) * p10 + wx * p11)).astype(img.dtype)
         return jnp.where(skip, img, warped)
 
     x = jax.vmap(warp)(x, inv, t_pix, identity_geom)
