@@ -225,6 +225,8 @@ def main():
     remat = ""
     if "--remat" in args:
         i = args.index("--remat")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: bench.py [batch] [--remat lpips+classifier+gan]")
         remat = args[i + 1]
         del args[i:i + 2]
     batch = int(args[0]) if args else 64

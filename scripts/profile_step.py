@@ -97,10 +97,16 @@ def load_events(out_dir: str) -> list[dict]:
         if (e.get("name") == "thread_name"
                 and e.get("args", {}).get("name") == "XLA Ops"):
             xla_ops_tids.add((e.get("pid"), e.get("tid")))
-    if device_pids:
-        keep = {(p, t) for p, t in xla_ops_tids if p in device_pids}
+    keep = {(p, t) for p, t in xla_ops_tids if p in device_pids}
+    if keep:
         events = [e for e in events
                   if (e.get("pid"), e.get("tid")) in keep or e.get("ph") == "M"]
+    elif device_pids:
+        # Device processes exist but no "XLA Ops" thread under them
+        # (profiler-version-dependent naming) — analyze unfiltered rather
+        # than silently reporting an empty 0-ms table.
+        print("WARNING: no 'XLA Ops' device lane found; analyzing the "
+              "UNFILTERED trace (host spans included)")
     return events
 
 

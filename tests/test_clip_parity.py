@@ -66,11 +66,25 @@ def test_clip_preprocess_pil_exact_geometry(rng):
     assert got.shape == (224, 224, 3)
 
     img = Image.fromarray(raw)
-    img = img.resize((round(467 * 224 / 300), 224), Image.BICUBIC)
-    left = (img.size[0] - 224) // 2
+    # torchvision semantics: long side int-TRUNCATED (348, not round->349),
+    # crop origin int(round((n - 224)/2.0)) — both verified against
+    # torchvision's _compute_resized_output_size / F.center_crop sources.
+    nw = int(224 * 467 / 300)
+    assert nw == 348
+    img = img.resize((nw, 224), Image.BICUBIC)
+    left = int(round((nw - 224) / 2.0))
     ref = np.asarray(img.crop((left, 0, left + 224, 224)), np.float32) / 255.0
     ref = (ref - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
     np.testing.assert_array_equal(got, ref)
+
+    # odd crop remainder: nw=int(224*471/300)=351, origin round(63.5)=64
+    # (python banker's rounding, like torchvision's int(round(...)))
+    raw2 = _photo_like(rng, 300, 471)
+    got2 = clip_preprocess_pil(raw2)
+    img2 = Image.fromarray(raw2).resize((351, 224), Image.BICUBIC)
+    ref2 = np.asarray(img2.crop((64, 0, 64 + 224, 224)), np.float32) / 255.0
+    ref2 = (ref2 - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+    np.testing.assert_array_equal(got2, ref2)
 
 
 def test_clip_preprocess_drift_bound(hf_model, rng):

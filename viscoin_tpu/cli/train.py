@@ -272,6 +272,16 @@ def _load_fid_detector(path: str):
     from viscoin_tpu.utils import checkpoints as ckpt
 
     if path.endswith(".pt"):
+        import jax
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "--fid-detector <file>.pt runs the TorchScript detector on "
+                "host CPU and needs host-local features — unavailable on "
+                "multi-host runs (the eval batch is sharded across hosts). "
+                "Port it instead: scripts/port_weights.py inception-nvlabs "
+                f"{path} checkpoints/inception (device-side, multi-host "
+                "capable, numerically self-verified).")
         from viscoin_tpu.models.inception import make_torchscript_fid_detector
 
         click.echo(f"FID: exact NVlabs TorchScript detector ({path}, host CPU)")

@@ -16,6 +16,7 @@ Reference: viscoin/testing/viscoin.py. TPU-first redesign:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Literal, TypedDict
 
@@ -126,12 +127,18 @@ def make_test_step(models: VisCoINModels, lpips_module, mesh=None):
                    out_shardings=(rep, sh, sh), compiler_options=copts)
 
 
+@functools.lru_cache(maxsize=8)
 def make_fid_moments(mesh=None):
     """Jitted (features (B,D), valid (B,)) -> (Σx (D,), Σxxᵀ (D,D), n ()) with
     invalid (padding) rows masked out. On a mesh the inputs are batch-sharded
     and the moment sums come back replicated (GSPMD reduces over ICI/DCN) —
     this is how FID statistics accumulate on multi-host runs, where no single
-    host can materialize the global feature batch."""
+    host can materialize the global feature batch.
+
+    Cached per mesh (Mesh is hashable): the in-training eval calls
+    test_viscoin every 2000 iterations, and a fresh jit wrapper per call
+    would retrace — and on a relay-attached TPU recompile — every eval
+    (the same hazard the hoisted eval_step in train/viscoin.py avoids)."""
 
     def moments(feats, valid):
         f = feats.astype(jnp.float32) * valid[:, None]

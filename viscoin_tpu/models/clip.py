@@ -178,14 +178,16 @@ def clip_preprocess_pil(raw_u8: "np.ndarray") -> "np.ndarray":
 
     img = Image.fromarray(raw_u8).convert("RGB")
     w, h = img.size
-    short = min(w, h)
-    # torchvision Resize(224): short side -> 224, aspect preserved (round)
-    nw, nh = ((CLIP_IMAGE_SIZE, round(h * CLIP_IMAGE_SIZE / short)) if w <= h
-              else (round(w * CLIP_IMAGE_SIZE / short), CLIP_IMAGE_SIZE))
+    short, long = min(w, h), max(w, h)
+    # torchvision Resize(224): short side -> 224, long side int-TRUNCATED
+    # (torchvision _compute_resized_output_size uses int(), not round())
+    new_long = int(CLIP_IMAGE_SIZE * long / short)
+    nw, nh = ((CLIP_IMAGE_SIZE, new_long) if w <= h
+              else (new_long, CLIP_IMAGE_SIZE))
     img = img.resize((nw, nh), Image.BICUBIC)
-    # torchvision CenterCrop(224)
-    left = (nw - CLIP_IMAGE_SIZE) // 2
-    top = (nh - CLIP_IMAGE_SIZE) // 2
+    # torchvision CenterCrop(224): origin int(round((n - crop)/2.0))
+    left = int(round((nw - CLIP_IMAGE_SIZE) / 2.0))
+    top = int(round((nh - CLIP_IMAGE_SIZE) / 2.0))
     img = img.crop((left, top, left + CLIP_IMAGE_SIZE, top + CLIP_IMAGE_SIZE))
     x = np.asarray(img, np.float32) / 255.0
     return ((x - np.asarray(CLIP_MEAN, np.float32))

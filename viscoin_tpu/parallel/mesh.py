@@ -40,9 +40,26 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree across the mesh."""
+    """Replicate a pytree across the mesh.
+
+    Multi-host: built via ``make_array_from_callback`` — NO collectives.
+    ``jax.device_put`` to a multi-host replicated sharding runs a collective
+    equality assertion PER LEAF (multihost_utils.assert_equal), i.e. hundreds
+    of startup micro-collectives, each of whose lazy gloo-context creation
+    carries a ~30 s rendezvous deadline; compile-time skew between ranks
+    blows that deadline (observed in the 2-process CPU test). Every caller
+    passes identical values on all hosts by construction (same seeds, same
+    checkpoint), which is exactly the callback path's contract."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def pad_to_multiple(batch: np.ndarray, multiple: int):

@@ -82,10 +82,19 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     tx = jnp.where(do, tx, 0)
     ty = jnp.where(do, ty, 0)
 
-    def roll_img(img, sy, sx):
-        return jnp.roll(img, (sy, sx), axis=(0, 1))
+    def shift_img(img, sy, sx):
+        # zero-fill translation (upstream xint zero-pads via the warp's
+        # padding; a plain roll would wrap opposite-edge pixels into view —
+        # a seam artifact real/generated images never contain, which the
+        # discriminator could key on, leaking the augmentation into D).
+        rolled = jnp.roll(img, (sy, sx), axis=(0, 1))
+        rows = jnp.arange(H)[:, None, None]
+        cols = jnp.arange(W)[None, :, None]
+        inb = ((rows - sy >= 0) & (rows - sy < H)
+               & (cols - sx >= 0) & (cols - sx < W))
+        return rolled * inb
 
-    x = jax.vmap(roll_img)(x, ty, tx)
+    x = jax.vmap(shift_img)(x, ty, tx)
 
     # ---- general geometric: ONE composed inverse affine + bilinear warp ----
     # isotropic scale (lognormal, std 0.2·log2)
@@ -156,10 +165,6 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
 
     # ---- color: ONE composed 4x4 homogeneous matrix ------------------------
     eye = jnp.eye(4)
-
-    def cmat(m):  # (B, 4, 4) from per-image 3x3 + offset pieces
-        return m
-
     mats = jnp.broadcast_to(eye, (B, 4, 4))
     ck = jax.random.split(keys[15], 10)
 
@@ -169,12 +174,11 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     m = jnp.broadcast_to(eye, (B, 4, 4)).at[:, :3, 3].set(b_[:, None])
     mats = jnp.einsum("bij,bjk->bik", m, mats)
 
-    # contrast (mul, lognormal std 0.5·log2)
+    # contrast (mul, lognormal std 0.5·log2): diag([c, c, c, 1]) per image
     do = jax.random.uniform(ck[2], (B,)) < p
     c_ = jnp.where(do, jnp.exp2(jax.random.normal(ck[3], (B,)) * 0.5), 1.0)
-    m = jnp.broadcast_to(eye, (B, 4, 4)) * jnp.concatenate(
-        [jnp.repeat(c_[:, None], 3, 1), jnp.ones((B, 1))], 1)[:, :, None] ** 0
-    m = jax.vmap(lambda cc: jnp.diag(jnp.array([1., 1., 1., 1.]) * 0 + jnp.concatenate([jnp.full((3,), cc), jnp.ones((1,))])))(c_)
+    m = jax.vmap(lambda cc: jnp.diag(
+        jnp.concatenate([jnp.full((3,), cc), jnp.ones((1,))])))(c_)
     mats = jnp.einsum("bij,bjk->bik", m, mats)
 
     v = jnp.asarray([1.0, 1.0, 1.0, 0.0]) / np.sqrt(3.0)  # luma axis
