@@ -243,10 +243,15 @@ def make_sample_fakes(generator_gan, cfg: VisCoINTrainingParams, mesh=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
+    # 2-D (data, model) mesh: additionally shard the sample images' H axis
+    # over the model axis (spatial sharding — the step consumes them with
+    # the same layout).
+    spatial = "model" in mesh.axis_names
+    out = P(None, "data", "model") if spatial else P(None, "data")
     return jax.jit(
         sample,
         in_shardings=(replicated, replicated),
-        out_shardings=NamedSharding(mesh, P(None, "data")),
+        out_shardings=NamedSharding(mesh, out),
         compiler_options=copts,
     )
 
@@ -694,7 +699,12 @@ def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
     Returns step(state, frozen, images_u8, labels, rng[, fake]) — ``fake``
     only with ``external_fakes`` (see :func:`make_sample_fakes`).
     With ``mesh``: the batch shards on the ``data`` axis, state and frozen
-    weights replicate, and GSPMD all-reduces the gradients over ICI."""
+    weights replicate, and GSPMD all-reduces the gradients over ICI.
+    A 2-D ("data", "model") mesh additionally shards the images' H axis over
+    the model axis (spatial sharding, SURVEY.md §2.4's sequence-parallel
+    analogue): GSPMD inserts the conv halo exchanges through all five
+    forwards AND the backward — the scaling escape hatch when per-chip batch
+    is already minimal (tested shard-invariant vs the 1-D mesh)."""
     from viscoin_tpu.parallel.mesh import tpu_compiler_options
 
     step = make_train_step(models, generator_gan, lpips_module, cfg,
@@ -706,10 +716,13 @@ def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
+    spatial = "model" in mesh.axis_names
+    img_spec = P("data", "model") if spatial else P("data")
+    img_sharded = NamedSharding(mesh, img_spec)
     batch_sharded = NamedSharding(mesh, P("data"))
-    in_sh = [replicated, replicated, batch_sharded, batch_sharded, replicated]
+    in_sh = [replicated, replicated, img_sharded, batch_sharded, replicated]
     if external_fakes:
-        in_sh.append(batch_sharded)
+        in_sh.append(img_sharded)
     return jax.jit(
         step,
         in_shardings=tuple(in_sh),
