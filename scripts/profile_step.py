@@ -70,11 +70,13 @@ def capture(batch: int, out_dir: str) -> None:
     jax.profiler.stop_trace()
 
 
-def load_events(out_dir: str) -> list[dict]:
-    # Prefer the DEVICE timeline (vm.trace.json.gz through the relay);
-    # jax.profiler also writes a <hostname>.trace.json.gz HOST trace next to
-    # it, and analyzing that one would sum host-side TraceMe events into a
-    # meaningless "device" table.
+def load_events(out_dir: str) -> tuple[list[dict], list[dict]]:
+    """Return (per-HLO device events, program-instance module spans).
+
+    Prefers the DEVICE timeline (vm.trace.json.gz through the relay);
+    jax.profiler also writes a <hostname>.trace.json.gz HOST trace next to
+    it, and analyzing that one would sum host-side TraceMe events into a
+    meaningless "device" table."""
     paths = sorted(glob.glob(os.path.join(out_dir, "plugins/profile/*/vm.trace.json.gz")))
     if not paths:
         paths = sorted(glob.glob(os.path.join(out_dir, "plugins/profile/*/*trace.json.gz")))
@@ -86,18 +88,29 @@ def load_events(out_dir: str) -> list[dict]:
     # The combined trace interleaves device and host tracks; keep only the
     # per-HLO device lane (process "/device:*", thread "XLA Ops") — summing
     # everything would double-count jit spans, step markers, and host
-    # TraceMes into a meaningless table.
-    device_pids, xla_ops_tids = set(), set()
+    # TraceMes into a meaningless table. The sibling "XLA Modules" lane
+    # carries one span per PROGRAM INSTANCE (jit_train_step, the sampler,
+    # eval...) — kept separately so HLO time can be attributed per program:
+    # fusion NAMES repeat across programs, so a name-grouped table alone
+    # conflates e.g. the step's conv fusions with the sampler's.
+    device_pids, xla_ops_tids, module_tids = set(), set(), set()
     for e in events:
         if e.get("ph") != "M":
             continue
         if (e.get("name") == "process_name"
                 and str(e.get("args", {}).get("name", "")).startswith("/device:")):
             device_pids.add(e.get("pid"))
-        if (e.get("name") == "thread_name"
-                and e.get("args", {}).get("name") == "XLA Ops"):
-            xla_ops_tids.add((e.get("pid"), e.get("tid")))
+        if e.get("name") == "thread_name":
+            lane = e.get("args", {}).get("name")
+            if lane == "XLA Ops":
+                xla_ops_tids.add((e.get("pid"), e.get("tid")))
+            elif lane == "XLA Modules":
+                module_tids.add((e.get("pid"), e.get("tid")))
     keep = {(p, t) for p, t in xla_ops_tids if p in device_pids}
+    mkeep = {(p, t) for p, t in module_tids if p in device_pids}
+    modules = [e for e in events
+               if (e.get("pid"), e.get("tid")) in mkeep
+               and e.get("ph") == "X" and "dur" in e]
     if keep:
         events = [e for e in events
                   if (e.get("pid"), e.get("tid")) in keep or e.get("ph") == "M"]
@@ -107,27 +120,52 @@ def load_events(out_dir: str) -> list[dict]:
         # than silently reporting an empty 0-ms table.
         print("WARNING: no 'XLA Ops' device lane found; analyzing the "
               "UNFILTERED trace (host spans included)")
-    return events
+    return events, modules
+
+
+def _program_of(modules: list[tuple[float, float, str]], ts: float) -> str:
+    """Program-instance span enclosing device timestamp ts (spans are
+    disjoint on the one device timeline; linear scan over ~10s of spans)."""
+    for start, end, name in modules:
+        if start <= ts <= end:
+            return name
+    return "(outside any program)"
 
 
 def analyze(out_dir: str, steps: int = 3) -> None:
-    events = load_events(out_dir)
+    events, module_events = load_events(out_dir)
+    # Module spans, normalized to (start, end, program_name) with the
+    # instance id stripped: "jit_train_step(123...)" -> "jit_train_step".
+    spans = sorted(
+        (e["ts"], e["ts"] + e["dur"], re.sub(r"\(\d+\)$", "", e.get("name", "?")))
+        for e in module_events
+    )
     durs: dict[str, float] = {}
-    args_by_name: dict[str, dict] = {}
+    prog_durs: dict[tuple[str, str], float] = {}
+    prog_total: dict[str, float] = {}
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         name = e.get("name", "?")
         durs[name] = durs.get(name, 0.0) + e["dur"]
-        if name not in args_by_name and e.get("args"):
-            args_by_name[name] = e["args"]
+        prog = _program_of(spans, e.get("ts", -1.0)) if spans else "?"
+        prog_durs[(prog, name)] = prog_durs.get((prog, name), 0.0) + e["dur"]
+        prog_total[prog] = prog_total.get(prog, 0.0) + e["dur"]
 
     total = sum(durs.values())
-    print(f"device total: {total / 1e3 / steps:.2f} ms/step over {steps} steps\n")
+    print(f"device total: {total / 1e3 / steps:.2f} ms/step over {steps} steps")
+    if prog_total:
+        print("by program (HLO time inside each program's instances):")
+        for prog, d in sorted(prog_total.items(), key=lambda kv: -kv[1]):
+            print(f"  {d / 1e3 / steps:9.3f} ms/step  {prog}")
+    print()
 
-    print(f"{'ms/step':>9}  {'%':>5}  name")
-    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:45]:
-        print(f"{d / 1e3 / steps:9.3f}  {100 * d / total:5.1f}  {name[:110]}")
+    # Per-(program, fusion) table — names repeat ACROSS programs, so the
+    # program column is what keeps step vs sampler instances separate.
+    print(f"{'ms/step':>9}  {'%':>5}  program :: name")
+    for (prog, name), d in sorted(prog_durs.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"{d / 1e3 / steps:9.3f}  {100 * d / total:5.1f}  "
+              f"{prog} :: {name[:90]}")
 
     # Rollup by op category.
     cats: dict[str, float] = {}

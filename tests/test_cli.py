@@ -152,6 +152,29 @@ def test_cli_train_gan_resume(tmp_path, monkeypatch):
     assert "resume mismatch" in str(result.exception)
 
 
+def test_cli_train_model_parallel_validation():
+    """--model-parallel flag surface + fast-fail validation (the 2-D step
+    itself is shard-invariance-tested in test_spatial.py)."""
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["train", "--help"])
+    assert "--model-parallel" in result.output
+
+    # requires data-parallel
+    result = runner.invoke(main, [
+        "train", "viscoin", "--dataset", "synthetic", "--no-data-parallel",
+        "--model-parallel", "2"])
+    assert result.exit_code != 0
+    assert "requires --data-parallel" in result.output
+
+    # must divide the device count (8-device CPU mesh in tests)
+    result = runner.invoke(main, [
+        "train", "viscoin", "--dataset", "synthetic", "--model-parallel", "3"])
+    assert result.exit_code != 0
+    assert "does not divide" in result.output
+
+
 def test_cli_logs_gan_schema(tmp_path):
     """`logs` plots `train gan` jsonl (capability extension — the reference
     has no GAN-training logs)."""

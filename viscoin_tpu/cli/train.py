@@ -49,6 +49,11 @@ from viscoin_tpu.utils.logging import configure_score_logging
 @click.option("--data-parallel/--no-data-parallel", default=True,
               help="Shard the batch over all local devices (new capability; "
                    "the reference is single-device)")
+@click.option("--model-parallel", type=int, default=1,
+              help="[viscoin] Devices per model-parallel group: builds a 2-D "
+                   "(data, model) mesh that spatially shards the images' H "
+                   "axis through the train step (GSPMD halo exchanges) — for "
+                   "scaling past the per-chip batch minimum")
 @click.option("--debug-nans", is_flag=True,
               help="Fail fast on NaNs in any jitted computation")
 @click.option("--resume", "resume_from", type=click.Path(exists=True), default=None,
@@ -71,7 +76,7 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "Default: checkpoints/inception if present")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel, debug_nans, resume_from, profile_dir,
+          data_parallel, model_parallel, debug_nans, resume_from, profile_dir,
           channel_base, channel_max, fid_detector_path):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
@@ -88,7 +93,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
         case "viscoin":
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
-                           profile_dir, fid_detector_path)
+                           profile_dir, fid_detector_path,
+                           model_parallel=model_parallel)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
@@ -302,15 +308,29 @@ def _load_fid_detector(path: str):
 
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
-                   profile_dir=None, fid_detector_path=None):
+                   profile_dir=None, fid_detector_path=None, model_parallel=1):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
-    from viscoin_tpu.parallel.mesh import make_mesh
+    from viscoin_tpu.parallel.mesh import make_mesh, make_mesh_2d
     from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
     from viscoin_tpu.utils import checkpoints as ckpt
 
     import jax.numpy as jnp
+
+    n_dev = len(jax.devices())
+    if model_parallel > 1:
+        if not data_parallel:
+            raise click.UsageError("--model-parallel requires --data-parallel "
+                                   "(the mesh is 2-D (data, model))")
+        if n_dev % model_parallel:
+            raise click.UsageError(f"--model-parallel={model_parallel} does not "
+                                   f"divide the {n_dev} available devices")
+        mesh = make_mesh_2d(n_dev // model_parallel, model_parallel)
+        click.echo(f"mesh: ({n_dev // model_parallel} data, {model_parallel} "
+                   "model) — images' H axis spatially sharded over 'model'")
+    else:
+        mesh = make_mesh() if (data_parallel and n_dev > 1) else None
 
     n_classes = DATASET_CLASSES[dataset]
     params = VisCoINTrainingParams(
@@ -372,7 +392,6 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    "(port weights with scripts/port_weights.py inception, or "
                    "pass --fid-detector).")
 
-    mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
     train_viscoin(models, generator, gvars, lpips, lparams,
                   train_loader, test_loader, params, mesh=mesh,
                   resume_from=resume_from, profile_dir=profile_dir,

@@ -32,10 +32,17 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
-    """Place host arrays onto the mesh, sharded along their leading dim."""
-    sharding = batch_sharding(mesh, axis)
-    out = tuple(jax.device_put(a, sharding) for a in arrays)
+def shard_batch(mesh: Mesh, *arrays, axis: str = "data", specs=None):
+    """Place host arrays onto the mesh, sharded along their leading dim.
+
+    ``specs``: optional per-array :class:`PartitionSpec` overrides (e.g. the
+    spatial ``P("data", "model", None, None)`` for images on a 2-D mesh —
+    jit refuses to reshard committed arrays, so the loop must place them
+    with the step's exact input sharding)."""
+    if specs is None:
+        specs = (P(axis),) * len(arrays)
+    out = tuple(jax.device_put(a, NamedSharding(mesh, s))
+                for a, s in zip(arrays, specs, strict=True))
     return out if len(out) > 1 else out[0]
 
 
@@ -92,7 +99,7 @@ def image_sharding(mesh: Mesh, batch_axis: str = "data",
     return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))
 
 
-def global_shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+def global_shard_batch(mesh: Mesh, *arrays, axis: str = "data", specs=None):
     """Multi-host form of :func:`shard_batch`: each process passes its LOCAL
     slice of the global batch (loaded with ``DataLoader(shard=(process_index,
     process_count))``), and the returned ``jax.Array``s are globally sharded
@@ -103,15 +110,21 @@ def global_shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
     such); on a multi-host mesh it uses
     ``jax.make_array_from_process_local_data``, the single-controller JAX
     idiom for per-host input pipelines — no host ever materializes the full
-    global batch."""
+    global batch.
+
+    ``specs``: per-array :class:`PartitionSpec` overrides, as in
+    :func:`shard_batch`. Multi-host: each process still passes its full
+    local batch rows; ``make_array_from_process_local_data`` slices the
+    non-process dims (e.g. a spatially-sharded H axis) per device."""
     if jax.process_count() == 1:
-        return shard_batch(mesh, *arrays, axis=axis)
-    sharding = batch_sharding(mesh, axis)
+        return shard_batch(mesh, *arrays, axis=axis, specs=specs)
+    if specs is None:
+        specs = (P(axis),) * len(arrays)
     out = tuple(
         jax.make_array_from_process_local_data(
-            sharding, np.asarray(a),
+            NamedSharding(mesh, s), np.asarray(a),
             (a.shape[0] * jax.process_count(),) + tuple(a.shape[1:]))
-        for a in arrays
+        for a, s in zip(arrays, specs, strict=True)
     )
     return out if len(out) > 1 else out[0]
 

@@ -585,12 +585,20 @@ def train_viscoin(
                 print(f"WARNING: profiler unavailable ({type(e).__name__})")
                 profile_dir = None
         if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
             from viscoin_tpu.parallel.mesh import global_shard_batch
 
             # On one process == shard_batch; on a multi-host mesh each
             # process contributes its loader shard of the global batch.
-            images, labels = global_shard_batch(mesh, images,
-                                                labels.astype("int32"))
+            # 2-D mesh: images must be placed with the step's exact spatial
+            # sharding (H over "model") — jit refuses to reshard committed
+            # arrays.
+            img_spec = (P("data", "model", None, None)
+                        if "model" in mesh.axis_names else P("data"))
+            images, labels = global_shard_batch(
+                mesh, images, labels.astype("int32"),
+                specs=(img_spec, P("data")))
         else:
             images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
         state, metrics = step_fn(state, frozen, images, labels, k,
