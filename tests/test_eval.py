@@ -199,3 +199,32 @@ def test_test_viscoin_mesh(models):
               "preds_overlap"]:
         np.testing.assert_allclose(getattr(r8, f), getattr(r1, f), rtol=1e-4,
                                    err_msg=f)
+
+
+def test_test_viscoin_mesh_2d(models):
+    """Eval on a 2-D (data, model) mesh — images' H axis spatially sharded
+    over 'model' like the train step — matches single-device metrics AND
+    FID (the device-side moment reduction over spatially-sharded features)."""
+    from viscoin_tpu.parallel.mesh import make_mesh_2d
+
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)),
+                         jnp.zeros((1, IMG, IMG, 3)))["params"]
+
+    @jax.jit
+    def fid_detector(images):  # tiny stand-in, as in tests/multihost_worker.py
+        m = jnp.mean(images, axis=(1, 2))  # (B, 3)
+        return jnp.concatenate([m, jnp.std(images, axis=(1, 2, 3))[:, None]],
+                               axis=1)
+
+    ds = SyntheticDataset(n=10, n_classes=NC, image_size=IMG, mode="test")
+    loader = DataLoader(ds, batch_size=8, shuffle=False, num_threads=0)
+    r1 = eval_viscoin(models, lpips, lparams, loader, compute_fid=True,
+                      fid_detector=fid_detector)
+    r2d = eval_viscoin(models, lpips, lparams, loader, compute_fid=True,
+                       fid_detector=fid_detector, mesh=make_mesh_2d(2, 4))
+    for f in ["acc_loss", "lp_loss", "rec_loss_l1", "correct_preds",
+              "preds_overlap"]:
+        np.testing.assert_allclose(getattr(r2d, f), getattr(r1, f), rtol=1e-4,
+                                   err_msg=f)
+    np.testing.assert_allclose(r2d.fid_score, r1.fid_score, rtol=1e-3)

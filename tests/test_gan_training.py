@@ -124,6 +124,56 @@ def test_gan_step_mesh(rng):
     assert int(state.step) == 1
 
 
+def test_gan_step_mesh_2d_matches_single_device(rng):
+    """The GAN step on a 2-D (data, model) mesh — batch on 'data', image H
+    spatially sharded over 'model' through G synthesis, the ADA pipe, D, and
+    the R1/PPL double-grad — reproduces the unsharded step's losses and
+    post-step params."""
+    from viscoin_tpu.parallel.mesh import make_mesh_2d, replicate, shard_batch
+    from jax.sharding import PartitionSpec as P
+
+    generator, discriminator = _tiny_gan()
+    cfg = GANTrainingParams(batch_size=4, r1_interval=1, ppl_interval=1,
+                            augment="ada")
+    images = rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(1)
+
+    def run(mesh):
+        state, g_extras = create_gan_train_state(generator, discriminator,
+                                                 jax.random.PRNGKey(0), cfg, IMG)
+        step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
+        if mesh is not None:
+            state = replicate(mesh, state)
+            g_extras = replicate(mesh, g_extras)
+            im = shard_batch(mesh, images,
+                             specs=(P("data", "model", None, None),))
+        else:
+            im = jnp.asarray(images)
+        state, m_a = step(state, g_extras, im, key)
+        state, m_b = step(state, g_extras, im, jax.random.PRNGKey(2))
+        return (m_a, m_b,
+                jax.tree_util.tree_leaves(jax.device_get(state.g_params))
+                + jax.tree_util.tree_leaves(jax.device_get(state.d_params)))
+
+    ma1, mb1, p1 = run(None)
+    ma2, mb2, p2 = run(make_mesh_2d(2, 4))
+    # Step-1 metrics: reassociated fp32 reductions through the live R1/PPL
+    # double-grad sit just above 1e-4 (measured 1.5e-4 on d_loss).
+    for k in ma1:
+        np.testing.assert_allclose(float(ma2[k]), float(ma1[k]), rtol=1e-3,
+                                   atol=1e-6, err_msg=k)
+    # Step-2 metrics see step-1's updated params: a systematically wrong
+    # sharded gradient (e.g. a missing mean-reduction) would blow these up.
+    # Adam's first step is ±lr·sign(g) per element, so near-zero-gradient
+    # elements legitimately flip on reassociation noise — hence the looser
+    # step-2 rtol and the lr-scaled (not element-exact) param bound below.
+    for k in mb1:
+        np.testing.assert_allclose(float(mb2[k]), float(mb1[k]), rtol=5e-2,
+                                   atol=1e-5, err_msg=k)
+    for a, b in zip(p2, p1):
+        np.testing.assert_allclose(a, b, atol=5 * cfg.learning_rate)
+
+
 def test_gan_step_with_ada(rng):
     """Full step with the ADA pipe live (augment='ada', p>0): finite losses,
     both nets update, ada_p/ada_rt tracked in state and metrics."""

@@ -50,10 +50,10 @@ from viscoin_tpu.utils.logging import configure_score_logging
               help="Shard the batch over all local devices (new capability; "
                    "the reference is single-device)")
 @click.option("--model-parallel", type=int, default=1,
-              help="[viscoin] Devices per model-parallel group: builds a 2-D "
-                   "(data, model) mesh that spatially shards the images' H "
-                   "axis through the train step (GSPMD halo exchanges) — for "
-                   "scaling past the per-chip batch minimum")
+              help="[viscoin/gan] Devices per model-parallel group: builds a "
+                   "2-D (data, model) mesh that spatially shards the images' "
+                   "H axis through the train step (GSPMD halo exchanges) — "
+                   "for scaling past the per-chip batch minimum")
 @click.option("--debug-nans", is_flag=True,
               help="Fail fast on NaNs in any jitted computation")
 @click.option("--resume", "resume_from", type=click.Path(exists=True), default=None,
@@ -98,9 +98,30 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
-                       resume_from=resume_from)
+                       resume_from=resume_from, model_parallel=model_parallel)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
+
+
+def _build_mesh(data_parallel: bool, model_parallel: int):
+    """Mesh for a train subcommand: None (single device / --no-data-parallel),
+    a 1-D data mesh, or a 2-D (data, model) mesh whose 'model' axis spatially
+    shards the images' H axis (--model-parallel)."""
+    from viscoin_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+    n_dev = len(jax.devices())
+    if model_parallel > 1:
+        if not data_parallel:
+            raise click.UsageError("--model-parallel requires --data-parallel "
+                                   "(the mesh is 2-D (data, model))")
+        if n_dev % model_parallel:
+            raise click.UsageError(f"--model-parallel={model_parallel} does not "
+                                   f"divide the {n_dev} available devices")
+        mesh = make_mesh_2d(n_dev // model_parallel, model_parallel)
+        click.echo(f"mesh: ({n_dev // model_parallel} data, {model_parallel} "
+                   "model) — images' H axis spatially sharded over 'model'")
+        return mesh
+    return make_mesh() if (data_parallel and n_dev > 1) else None
 
 
 def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
@@ -176,7 +197,7 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
 def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                data_parallel, output_weights, channel_base=16384,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
-               seed=0):
+               seed=0, model_parallel=1):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -191,7 +212,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     from viscoin_tpu.data.loader import loop_iter
     from viscoin_tpu.models.stylegan import Discriminator, Generator
-    from viscoin_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from viscoin_tpu.parallel.mesh import replicate, shard_batch
     from viscoin_tpu.train.gan import (
         GANTrainingParams,
         create_gan_train_state,
@@ -224,7 +245,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     state, g_extras = create_gan_train_state(generator, discriminator,
                                              jax.random.PRNGKey(seed), cfg, size)
-    mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
+    mesh = _build_mesh(data_parallel, model_parallel)
     step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
     if mesh is not None:
         state = replicate(mesh, state)
@@ -251,7 +272,11 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         while images.shape[0] != cfg.batch_size:  # shape stability under jit
             images, _ = next(it)
         if mesh is not None:
-            images = shard_batch(mesh, np.asarray(images))
+            from jax.sharding import PartitionSpec as P
+
+            img_spec = (P("data", "model", None, None)
+                        if "model" in mesh.axis_names else P("data"))
+            images = shard_batch(mesh, np.asarray(images), specs=(img_spec,))
         state, metrics = step(state, g_extras, jnp.asarray(images),
                               jax.random.fold_in(base_rng, i))
         if i % 100 == 0 or i == cfg.iterations - 1:
@@ -312,25 +337,12 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
-    from viscoin_tpu.parallel.mesh import make_mesh, make_mesh_2d
     from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
     from viscoin_tpu.utils import checkpoints as ckpt
 
     import jax.numpy as jnp
 
-    n_dev = len(jax.devices())
-    if model_parallel > 1:
-        if not data_parallel:
-            raise click.UsageError("--model-parallel requires --data-parallel "
-                                   "(the mesh is 2-D (data, model))")
-        if n_dev % model_parallel:
-            raise click.UsageError(f"--model-parallel={model_parallel} does not "
-                                   f"divide the {n_dev} available devices")
-        mesh = make_mesh_2d(n_dev // model_parallel, model_parallel)
-        click.echo(f"mesh: ({n_dev // model_parallel} data, {model_parallel} "
-                   "model) — images' H axis spatially sharded over 'model'")
-    else:
-        mesh = make_mesh() if (data_parallel and n_dev > 1) else None
+    mesh = _build_mesh(data_parallel, model_parallel)
 
     n_classes = DATASET_CLASSES[dataset]
     params = VisCoINTrainingParams(

@@ -123,8 +123,15 @@ def make_test_step(models: VisCoINModels, lpips_module, mesh=None):
 
     rep = NamedSharding(mesh, P())
     sh = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(rep, rep, sh, sh, sh),
-                   out_shardings=(rep, sh, sh), compiler_options=copts)
+    # 2-D (data, model) mesh: eval images spatially shard their H axis over
+    # "model" like the train step (otherwise the model axis idles through
+    # every eval). The caller (test_viscoin) places batches with this exact
+    # spec — jit refuses to reshard committed arrays.
+    img_spec = (P("data", "model", None, None) if "model" in mesh.axis_names
+                else P("data"))
+    img = NamedSharding(mesh, img_spec)
+    return jax.jit(step, in_shardings=(rep, rep, img, sh, sh),
+                   out_shardings=(rep, img, img), compiler_options=copts)
 
 
 @functools.lru_cache(maxsize=8)
@@ -213,10 +220,15 @@ def test_viscoin(
             labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
         valid = (np.arange(local_bs) < n).astype(np.float32)
         if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
             from viscoin_tpu.parallel.mesh import global_shard_batch
 
+            img_spec = (P("data", "model", None, None)
+                        if "model" in mesh.axis_names else P("data"))
             images, labels, valid = global_shard_batch(
-                mesh, images, np.asarray(labels), valid)
+                mesh, images, np.asarray(labels), valid,
+                specs=(img_spec, P("data"), P("data")))
         else:
             images, labels, valid = (jnp.asarray(images), jnp.asarray(labels),
                                      jnp.asarray(valid))

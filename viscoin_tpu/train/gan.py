@@ -148,8 +148,16 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
     buffers must be runtime arguments, not closure constants serialized into
     the remote-compile HLO payload). With ``mesh``, the batch shards on the
     ``data`` axis and state replicates (GSPMD all-reduces the gradients over
-    ICI)."""
+    ICI). A 2-D ("data", "model") mesh additionally shards the images' H
+    axis over ``model`` — every discriminator input (real AND generated,
+    incl. the R1 branch) is constrained to the spatial sharding, so GSPMD
+    propagates it through G's synthesis and inserts the conv halo
+    exchanges, like the VisCoIN train step."""
     g_tx, d_tx = _optimizers(cfg)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spatial_sh = (NamedSharding(mesh, P("data", "model", None, None))
+                  if mesh is not None and "model" in mesh.axis_names else None)
     # num_ws is a pure function of the (static) resolution. Submodules (and
     # setup()-derived attributes) only exist on BOUND flax modules, so
     # generator.synthesis.num_ws is unreachable here — derive it from the
@@ -178,6 +186,8 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
     def run_d(d_params, images, aug_p, k_aug):
         """D with the ADA pipe in front (upstream run_D semantics: BOTH real
         and fake batches are augmented before the discriminator)."""
+        if spatial_sh is not None:
+            images = jax.lax.with_sharding_constraint(images, spatial_sh)
         if use_aug:
             images = augment_pipe(images, aug_p, k_aug)
         return discriminator.apply({"params": d_params}, images)
@@ -329,13 +339,11 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
+    img_sharded = spatial_sh or NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
-        in_shardings=(replicated, replicated, batch_sharded, replicated),
+        in_shardings=(replicated, replicated, img_sharded, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
         compiler_options=copts,
