@@ -119,6 +119,42 @@ def main():
                            compute_fid=True, fid_detector=fid_detector,
                            verbose=False, mesh=mesh)
 
+    # --- the GAN trainer, multi-host: sharded loader slices reassemble via
+    # global_shard_batch, state replicates, GSPMD all-reduces both nets'
+    # gradients (losses replicated — compared across ranks by the wrapper).
+    from viscoin_tpu.models.stylegan import Discriminator
+    from viscoin_tpu.parallel.mesh import replicate
+    from viscoin_tpu.train.gan import (
+        GANTrainingParams,
+        create_gan_train_state,
+        make_gan_train_step,
+    )
+
+    g2 = Generator(z_dim=8, w_dim=16, img_resolution=16, channel_base=128,
+                   channel_max=16, mapping_layers=1)
+    d2 = Discriminator(img_resolution=16, channel_base=128, channel_max=16,
+                       mbstd_group_size=2)
+    gan_cfg = GANTrainingParams(iterations=2, batch_size=4, augment="none")
+    gan_state, g_extras = create_gan_train_state(g2, d2, jax.random.PRNGKey(7),
+                                                 gan_cfg, 16)
+    gan_step = make_gan_train_step(g2, d2, gan_cfg, mesh=mesh)
+    gan_state = replicate(mesh, gan_state)
+    g_extras = replicate(mesh, g_extras)
+    gan_ds = SyntheticDataset(n=8, n_classes=NC, image_size=16, mode="train")
+    gan_loader = DataLoader(gan_ds, batch_size=4, num_threads=0, seed=9,
+                            shard=(pid, 2))
+    gan_metrics = {}
+    for gi, (gimgs, _) in enumerate(gan_loader):
+        if gi >= 2:
+            break
+        gimgs = global_shard_batch(mesh, np.asarray(gimgs))
+        gan_state, gan_metrics = gan_step(gan_state, g_extras, gimgs,
+                                          jax.random.fold_in(
+                                              jax.random.PRNGKey(8), gi))
+    gan_g = float(gan_metrics["g_loss"])
+    gan_d = float(gan_metrics["d_loss"])
+    assert np.isfinite(gan_g) and np.isfinite(gan_d)
+
     import logging
 
     logging.shutdown()
@@ -129,6 +165,8 @@ def main():
         "acc_loss": round(results.acc_loss, 6),
         "lp_loss": round(results.lp_loss, 6),
         "fid": round(results.fid_score, 6),
+        "gan_g_loss": round(gan_g, 6),
+        "gan_d_loss": round(gan_d, 6),
         "wrote_ckpt": wrote_ckpt,
         "n_log_lines": n_log_lines,
     }), flush=True)

@@ -51,8 +51,9 @@ def test_two_process_training(tmp_path):
         assert lines, f"rank {pid} produced no result line:\n{out[-4000:]}"
         results[pid] = json.loads(lines[0][len("MULTIHOST_OK "):])
 
-    # Replicated eval metrics are identical on every host (GSPMD-reduced).
-    for key in ("acc_loss", "lp_loss", "fid"):
+    # Replicated eval metrics are identical on every host (GSPMD-reduced) —
+    # likewise the GAN trainer's replicated losses.
+    for key in ("acc_loss", "lp_loss", "fid", "gan_g_loss", "gan_d_loss"):
         assert results[0][key] == results[1][key], (key, results)
 
     # Checkpoints + jsonl logs are process-0-only (per-rank dirs simulate a

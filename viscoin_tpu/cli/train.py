@@ -210,9 +210,10 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     import jax.numpy as jnp
     import numpy as np
 
-    from viscoin_tpu.data.loader import loop_iter
+    from viscoin_tpu.data.loader import DataLoader, loop_iter
+    from viscoin_tpu.data.utils import get_datasets
     from viscoin_tpu.models.stylegan import Discriminator, Generator
-    from viscoin_tpu.parallel.mesh import replicate, shard_batch
+    from viscoin_tpu.parallel.mesh import global_shard_batch, replicate
     from viscoin_tpu.train.gan import (
         GANTrainingParams,
         create_gan_train_state,
@@ -226,7 +227,21 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     # (IgnoreNone), like every other train subcommand.
     cfg = GANTrainingParams(iterations=epochs, learning_rate=learning_rate,
                             batch_size=batch_size)
-    train_loader, _ = get_dataloaders(dataset, cfg.batch_size)
+    world = jax.process_count()
+    if world > 1:
+        # Multi-host: each process loads its shard of every global batch
+        # (identical global order on all hosts — exact-concat tested), and
+        # global_shard_batch reassembles, exactly like train_viscoin.
+        if not data_parallel or cfg.batch_size % world:
+            raise click.UsageError(
+                f"multi-host `train gan` needs --data-parallel and a batch "
+                f"size divisible by the {world} processes")
+        train_ds, _ = get_datasets(dataset)
+        train_loader = DataLoader(train_ds, cfg.batch_size,
+                                  shard=(jax.process_index(), world))
+    else:
+        train_loader, _ = get_dataloaders(dataset, cfg.batch_size)
+    local_bs = cfg.batch_size // world
     size = train_loader.dataset.out_size
     if len(train_loader.dataset) < cfg.batch_size:
         raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
@@ -269,14 +284,15 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         train_loader.skip_batches(epochs_done * len(train_loader) + rem)
     for i in range(start, cfg.iterations):
         images, _ = next(it)
-        while images.shape[0] != cfg.batch_size:  # shape stability under jit
+        while images.shape[0] != local_bs:  # shape stability under jit
             images, _ = next(it)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             img_spec = (P("data", "model", None, None)
                         if "model" in mesh.axis_names else P("data"))
-            images = shard_batch(mesh, np.asarray(images), specs=(img_spec,))
+            images = global_shard_batch(mesh, np.asarray(images),
+                                        specs=(img_spec,))
         state, metrics = step(state, g_extras, jnp.asarray(images),
                               jax.random.fold_in(base_rng, i))
         if i % 100 == 0 or i == cfg.iterations - 1:
