@@ -24,6 +24,7 @@ from viscoin_tpu.cli.amplify_pca import amplify_pca  # noqa: E402
 from viscoin_tpu.cli.concept_heatmaps import concept_heatmaps  # noqa: E402
 from viscoin_tpu.cli.concepts import concepts  # noqa: E402
 from viscoin_tpu.cli.logs import logs  # noqa: E402
+from viscoin_tpu.cli.serve import export_serving_cmd, serve  # noqa: E402
 from viscoin_tpu.cli.test import test  # noqa: E402
 from viscoin_tpu.cli.to_pickle import to_pickle  # noqa: E402
 from viscoin_tpu.cli.train import train  # noqa: E402
@@ -51,6 +52,8 @@ main.add_command(concepts)
 main.add_command(concept_heatmaps)
 main.add_command(logs)
 main.add_command(amplify_pca)
+main.add_command(serve)
+main.add_command(export_serving_cmd)
 
 
 if __name__ == "__main__":
