@@ -373,3 +373,23 @@ def test_cli_registers_serving_commands():
         runner = __import__("click.testing", fromlist=["CliRunner"]).CliRunner()
         res = runner.invoke(main.commands[name], ["--help"])
         assert res.exit_code == 0, res.output
+
+
+def test_engine_mesh_matches_single_device(models):
+    """A data-parallel serving engine returns the single-device results."""
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    single = InferenceEngine(models, batch_size=8)
+    sharded = InferenceEngine(models, batch_size=8, mesh=mesh)
+    imgs = _images(8, seed=20)
+    ref, out = single.classify(imgs), sharded.classify(imgs)
+    np.testing.assert_allclose(out["logits"], ref["logits"], rtol=1e-4,
+                               atol=1e-5)
+    rec_ref = single.reconstruct(imgs)
+    rec = sharded.reconstruct(imgs)
+    assert np.abs(rec["reconstruction_u8"].astype(int)
+                  - rec_ref["reconstruction_u8"].astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match="divide"):
+        InferenceEngine(models, batch_size=6, mesh=mesh)

@@ -29,8 +29,11 @@ from viscoin_tpu.cli.utils import device, viscoin_pickle_path
 @click.option("--from-artifact", type=str, default=None,
               help="Serve a sealed export-serving artifact directory instead "
                    "of a checkpoint (classify/reconstruct only)")
+@click.option("--data-parallel/--no-data-parallel", default=False,
+              help="Shard each device batch over all local devices "
+                   "(1-D data mesh; batch-size must divide by device count)")
 def serve(device, viscoin_pickle_path, host, port, batch_size, max_delay_ms,
-          compute_dtype, from_artifact):
+          compute_dtype, from_artifact, data_parallel):
     """Serve a trained VisCoIN ensemble over HTTP.
 
     Endpoints: /healthz, /v1/stats, POST /v1/classify, /v1/reconstruct,
@@ -49,9 +52,14 @@ def serve(device, viscoin_pickle_path, host, port, batch_size, max_delay_ms,
         from viscoin_tpu.serve.engine import InferenceEngine
         from viscoin_tpu.utils.checkpoints import load_viscoin_bundle
 
+        import jax
+
+        from viscoin_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh() if (data_parallel and len(jax.devices()) > 1) else None
         models = load_viscoin_bundle(viscoin_pickle_path)
         engine = InferenceEngine(models, batch_size=batch_size,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype, mesh=mesh)
         print("warming up (compiling fixed-shape endpoints)...")
         engine.warmup()
     run_server(engine, host=host, port=port, max_delay_ms=max_delay_ms)

@@ -94,14 +94,20 @@ class InferenceEngine:
             chunked/padded to it.
         compute_dtype: "bfloat16" halves HBM traffic on TPU; weights are
             cast once at construction. Logits/probas are always fp32 out.
+        mesh: optional ``jax.sharding.Mesh`` — classify/reconstruct shard
+            the batch over the ``data`` axis with replicated weights (the
+            serving analogue of the train step's data parallelism;
+            batch_size must divide by the data-axis size). Amplify stays
+            single-device (one image).
     """
 
     def __init__(self, models: VisCoINModels, batch_size: int = 8,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", mesh=None):
         self.models = models
         self.batch_size = int(batch_size)
         self.resolution = models.gan.img_resolution
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         self.variables = _cast_tree({
             "classifier": models.classifier_vars,
             "psi": models.concept_params,
@@ -112,8 +118,23 @@ class InferenceEngine:
         from viscoin_tpu.parallel.mesh import tpu_compiler_options
 
         copts = tpu_compiler_options()
-        self._classify = jax.jit(fns["classify"], compiler_options=copts)
-        self._reconstruct = jax.jit(fns["reconstruct"], compiler_options=copts)
+        jit_kwargs: dict = {"compiler_options": copts}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_size = mesh.shape["data"]
+            if self.batch_size % data_size:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by the mesh "
+                    f"data axis ({data_size})")
+            rep = NamedSharding(mesh, P())
+            sh = NamedSharding(mesh, P("data"))
+            jit_kwargs.update(in_shardings=(rep, sh), out_shardings=sh)
+            from viscoin_tpu.parallel.mesh import replicate
+
+            self.variables = replicate(mesh, self.variables)
+        self._classify = jax.jit(fns["classify"], **jit_kwargs)
+        self._reconstruct = jax.jit(fns["reconstruct"], **jit_kwargs)
         self._amplify_fns = None
 
     # ------------------------------ helpers ------------------------------ #
