@@ -341,7 +341,7 @@ def test_export_served_over_http(models, tmp_path):
     path = str(tmp_path / "artifact2")
     export_serving(models, path, batch_size=2)
     eng = load_exported(path)
-    eng.compute_dtype = "float32"
+    assert eng.compute_dtype == "float32"  # from the manifest
     vs = VisCoINServer(eng, max_delay_ms=1.0)
     httpd = vs.make_server(port=0)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -361,6 +361,72 @@ def test_export_served_over_http(models, tmp_path):
         httpd.shutdown()
         httpd.server_close()
         vs.close()
+
+
+def test_export_roundtrip_bfloat16(models, tmp_path):
+    """bf16 artifacts must load (npz degrades ml_dtypes bfloat16 to raw void
+    unless the saver upcasts — the CLI default is bfloat16)."""
+    path = str(tmp_path / "artifact_bf16")
+    export_serving(models, path, batch_size=4, compute_dtype="bfloat16")
+    eng = load_exported(path)
+    assert eng.compute_dtype == "bfloat16"
+    out = eng.classify(_images(2, seed=13))
+    assert out["logits"].shape == (2, NC)
+    assert np.isfinite(out["logits"]).all()
+    # Equality with a live bf16 engine on the same weights.
+    live = InferenceEngine(models, batch_size=4, compute_dtype="bfloat16")
+    np.testing.assert_allclose(out["logits"],
+                               live.classify(_images(2, seed=13))["logits"],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_engine_empty_batch_raises(engine):
+    imgs = np.zeros((0, IMG, IMG, 3), np.uint8)
+    with pytest.raises(ValueError, match="empty"):
+        engine.classify(imgs)
+
+
+def test_server_empty_batch_and_bad_params_400(server):
+    base, _ = server
+    for url, body in [
+        (base + "/v1/classify",
+         _npz_body(images=np.zeros((0, IMG, IMG, 3), np.uint8))),
+        (base + "/v1/classify?top_k=abc", _npz_body(images=_images(1))),
+        (base + "/v1/amplify?multipliers=x", _npz_body(images=_images(1))),
+    ]:
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Content-Type": "application/octet-stream"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+
+
+def test_stats_snapshot_concurrent_with_appends():
+    """snapshot() must not race the worker's latency appends."""
+    mb = MicroBatcher(lambda items: items, max_batch=1, max_delay_ms=0)
+    try:
+        stop = threading.Event()
+        errors = []
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    mb.stats.snapshot()
+                except RuntimeError as e:  # "deque mutated during iteration"
+                    errors.append(e)
+                    return
+
+        t = threading.Thread(target=reader)
+        t.start()
+        futs = [mb.submit(i) for i in range(3000)]
+        for f in futs:
+            f.result(timeout=30)
+        stop.set()
+        t.join(timeout=5)
+        assert not errors
+    finally:
+        mb.close()
 
 
 def test_cli_registers_serving_commands():

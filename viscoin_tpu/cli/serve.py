@@ -45,7 +45,6 @@ def serve(device, viscoin_pickle_path, host, port, batch_size, max_delay_ms,
         from viscoin_tpu.serve.export import load_exported
 
         engine = load_exported(from_artifact)
-        engine.compute_dtype = engine.manifest["compute_dtype"]
         # The exported engine lacks amplify; the server handles the shared
         # classify/reconstruct surface through the same padded-batch calls.
     else:

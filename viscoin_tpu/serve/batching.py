@@ -24,7 +24,9 @@ from typing import Any, Callable, Sequence
 
 @dataclass
 class BatcherStats:
-    """Cumulative serving statistics (thread-safe snapshot via `snapshot`)."""
+    """Cumulative serving statistics. All mutation and the `snapshot` read
+    synchronize on the stats' own lock (the HTTP stats endpoint reads from
+    handler threads while the worker appends)."""
 
     requests: int = 0
     batches: int = 0
@@ -32,17 +34,32 @@ class BatcherStats:
     rows_sum: int = 0
     latencies_ms: collections.deque = field(
         default_factory=lambda: collections.deque(maxlen=1024))
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def record_batch(self, n_rows: int, enq_times: list[float],
+                     errored: bool = False):
+        now = time.monotonic()
+        with self.lock:
+            self.requests += n_rows
+            self.batches += 1
+            self.rows_sum += n_rows
+            if errored:
+                self.errors += n_rows
+            for t in enq_times:
+                self.latencies_ms.append((now - t) * 1000.0)
 
     def snapshot(self) -> dict:
-        lats = sorted(self.latencies_ms)
+        with self.lock:
+            lats = sorted(self.latencies_ms)
+            requests, batches = self.requests, self.batches
+            errors, rows_sum = self.errors, self.rows_sum
         pct = (lambda p: lats[min(len(lats) - 1, int(p * len(lats)))]
                if lats else 0.0)
         return {
-            "requests": self.requests,
-            "batches": self.batches,
-            "errors": self.errors,
-            "mean_batch_occupancy": (self.rows_sum / self.batches
-                                     if self.batches else 0.0),
+            "requests": requests,
+            "batches": batches,
+            "errors": errors,
+            "mean_batch_occupancy": rows_sum / batches if batches else 0.0,
             "latency_ms_p50": round(pct(0.50), 3),
             "latency_ms_p95": round(pct(0.95), 3),
         }
@@ -131,19 +148,14 @@ class MicroBatcher:
                         f"run_batch returned {len(outputs)} outputs for "
                         f"{len(items)} inputs")
             except Exception as e:  # resolve every request with the error
-                with self._lock:
-                    self.stats.errors += len(futures)
+                # Errored traffic still counts toward requests/batches/
+                # latency — an operator debugging failures must see it move.
+                self.stats.record_batch(len(items), enq_times, errored=True)
                 for fut in futures:
                     if not fut.cancelled():
                         fut.set_exception(e)
                 continue
-            now = time.monotonic()
-            with self._lock:
-                self.stats.requests += len(items)
-                self.stats.batches += 1
-                self.stats.rows_sum += len(items)
-                for t in enq_times:
-                    self.stats.latencies_ms.append((now - t) * 1000.0)
+            self.stats.record_batch(len(items), enq_times)
             for fut, out in zip(futures, outputs):
                 if not fut.cancelled():
                     fut.set_result(out)

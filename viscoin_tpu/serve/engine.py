@@ -37,6 +37,39 @@ def _cast_tree(tree, dtype):
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
 
+def prepare_image(img_u8: np.ndarray, resolution: int) -> np.ndarray:
+    """Arbitrary-size HWC u8 -> the model resolution, with the exact eval
+    geometry (Resize(short=size/0.875) + CenterCrop — data/transforms)."""
+    img_u8 = np.asarray(img_u8, np.uint8)
+    if img_u8.shape[:2] != (resolution, resolution):
+        img_u8 = host_test_transform(img_u8, size=resolution,
+                                     resize_to=int(resolution / 0.875))
+    return img_u8
+
+
+def run_padded(call, images_u8: np.ndarray, batch_size: int) -> dict:
+    """Chunk a u8 batch to the compiled batch size, pad the last chunk
+    (repeat-first-row, parallel.mesh.pad_to_multiple), drop the padding rows
+    from each output, and concatenate. ``call(chunk) -> dict`` runs one
+    fixed-shape device batch. Shared by the live and the sealed-artifact
+    engines so padding/geometry can never drift between them."""
+    from viscoin_tpu.parallel.mesh import pad_to_multiple
+
+    images_u8 = np.asarray(images_u8, np.uint8)
+    if images_u8.ndim == 3:
+        images_u8 = images_u8[None]
+    n = images_u8.shape[0]
+    if n == 0:
+        raise ValueError("empty image batch")
+    chunks: list[dict] = []
+    for start in range(0, n, batch_size):
+        chunk, rows = pad_to_multiple(images_u8[start:start + batch_size],
+                                      batch_size)
+        out = call(jnp.asarray(chunk))
+        chunks.append({k: np.asarray(v)[:rows] for k, v in out.items()})
+    return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
+
 def build_endpoint_fns(models: VisCoINModels, compute_dtype: str = "float32"):
     """The pure (variables, images_u8) -> outputs functions behind the
     engine — unjitted, so :mod:`~viscoin_tpu.serve.export` can AOT-export
@@ -140,39 +173,17 @@ class InferenceEngine:
     # ------------------------------ helpers ------------------------------ #
 
     def prepare_image(self, img_u8: np.ndarray) -> np.ndarray:
-        """Arbitrary-size HWC u8 -> the model resolution, with the exact eval
-        geometry (Resize(short=size/0.875) + CenterCrop — data/transforms)."""
-        img_u8 = np.asarray(img_u8, np.uint8)
-        if img_u8.shape[:2] != (self.resolution, self.resolution):
-            img_u8 = host_test_transform(
-                img_u8, size=self.resolution,
-                resize_to=int(self.resolution / 0.875))
-        return img_u8
-
-    def _run_padded(self, fn, images_u8: np.ndarray) -> dict:
-        images_u8 = np.asarray(images_u8, np.uint8)
-        if images_u8.ndim == 3:
-            images_u8 = images_u8[None]
-        n = images_u8.shape[0]
-        B = self.batch_size
-        chunks: list[dict] = []
-        for start in range(0, n, B):
-            chunk = images_u8[start:start + B]
-            rows = chunk.shape[0]
-            if rows < B:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[:1], B - rows, axis=0)])
-            out = fn(self.variables, jnp.asarray(chunk))
-            chunks.append({k: np.asarray(v)[:rows] for k, v in out.items()})
-        return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+        return prepare_image(img_u8, self.resolution)
 
     # ----------------------------- endpoints ----------------------------- #
 
     def classify(self, images_u8: np.ndarray) -> dict:
-        return self._run_padded(self._classify, images_u8)
+        return run_padded(lambda c: self._classify(self.variables, c),
+                          images_u8, self.batch_size)
 
     def reconstruct(self, images_u8: np.ndarray) -> dict:
-        return self._run_padded(self._reconstruct, images_u8)
+        return run_padded(lambda c: self._reconstruct(self.variables, c),
+                          images_u8, self.batch_size)
 
     def amplify(self, image_u8: np.ndarray, selection: Selection,
                 multipliers: list[float], seed: int = 0):

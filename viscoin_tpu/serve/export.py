@@ -25,11 +25,31 @@ import jax
 import jax.numpy as jnp
 
 from viscoin_tpu.models.bundle import VisCoINModels
-from viscoin_tpu.serve.engine import _cast_tree, build_endpoint_fns
+from viscoin_tpu.serve.engine import (
+    _cast_tree,
+    build_endpoint_fns,
+    prepare_image,
+    run_padded,
+)
 from viscoin_tpu.utils.checkpoints import _flat_keys, _unflatten_npz
 
 _MANIFEST = "manifest.json"
 _WEIGHTS = "variables.npz"
+
+
+def _save_weights(path: str, variables) -> None:
+    """npz cannot represent bfloat16 (np.savez silently degrades ml_dtypes
+    arrays to raw void '|V2' — unloadable); store bf16 leaves upcast to
+    float32, which is EXACT (bf16 values are a subset of fp32), and let the
+    loader cast back per the manifest's compute_dtype."""
+    keys, vals, _ = _flat_keys(variables)
+    out = {}
+    for k, v in zip(keys, vals):
+        v = np.asarray(v)
+        if v.dtype == jnp.bfloat16:
+            v = v.astype(np.float32)
+        out[k] = v
+    np.savez(os.path.join(path, _WEIGHTS), **out)
 
 
 def export_serving(
@@ -62,9 +82,7 @@ def export_serving(
     resolution = models.gan.img_resolution
 
     os.makedirs(path, exist_ok=True)
-    keys, vals, _ = _flat_keys(variables)
-    np.savez(os.path.join(path, _WEIGHTS),
-             **{k: np.asarray(v) for k, v in zip(keys, vals)})
+    _save_weights(path, variables)
 
     var_shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
@@ -100,48 +118,33 @@ class ExportedEngine:
             self.manifest = json.load(f)
         self.batch_size = int(self.manifest["batch_size"])
         self.resolution = int(self.manifest["resolution"])
+        self.compute_dtype = self.manifest.get("compute_dtype", "float32")
         data = np.load(os.path.join(path, _WEIGHTS))
-        self.variables = _unflatten_npz(data)
+        # Invert _save_weights: float32 leaves cast back to the export's
+        # compute dtype (exports cast every fp32 leaf, so this reproduces
+        # the exported tree exactly).
+        self.variables = _cast_tree(_unflatten_npz(data), self.compute_dtype)
         self._fns = {}
         for name in self.manifest["endpoints"]:
             with open(os.path.join(path, f"{name}.stablehlo"), "rb") as f:
                 self._fns[name] = jax.export.deserialize(f.read())
 
-    def _run_padded(self, name: str, images_u8: np.ndarray) -> dict:
+    def _call_endpoint(self, name: str, images_u8: np.ndarray) -> dict:
         if name not in self._fns:
             raise KeyError(f"endpoint {name!r} not in artifact "
                            f"(has {sorted(self._fns)})")
-        images_u8 = np.asarray(images_u8, np.uint8)
-        if images_u8.ndim == 3:
-            images_u8 = images_u8[None]
-        n, B = images_u8.shape[0], self.batch_size
-        chunks = []
-        for start in range(0, n, B):
-            chunk = images_u8[start:start + B]
-            rows = chunk.shape[0]
-            if rows < B:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[:1], B - rows, axis=0)])
-            out = self._fns[name].call(self.variables, jnp.asarray(chunk))
-            chunks.append({k: np.asarray(v)[:rows] for k, v in out.items()})
-        return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+        fn = self._fns[name]
+        return run_padded(lambda c: fn.call(self.variables, c), images_u8,
+                          self.batch_size)
 
     def classify(self, images_u8: np.ndarray) -> dict:
-        return self._run_padded("classify", images_u8)
+        return self._call_endpoint("classify", images_u8)
 
     def reconstruct(self, images_u8: np.ndarray) -> dict:
-        return self._run_padded("reconstruct", images_u8)
+        return self._call_endpoint("reconstruct", images_u8)
 
     def prepare_image(self, img_u8: np.ndarray) -> np.ndarray:
-        """Same eval geometry as InferenceEngine.prepare_image."""
-        from viscoin_tpu.data.transforms import host_test_transform
-
-        img_u8 = np.asarray(img_u8, np.uint8)
-        if img_u8.shape[:2] != (self.resolution, self.resolution):
-            img_u8 = host_test_transform(
-                img_u8, size=self.resolution,
-                resize_to=int(self.resolution / 0.875))
-        return img_u8
+        return prepare_image(img_u8, self.resolution)
 
 
 def load_exported(path: str) -> ExportedEngine:

@@ -48,7 +48,10 @@ def _decode_images(body: bytes, content_type: str) -> np.ndarray:
     if ct.startswith("image/"):
         from PIL import Image
 
-        img = Image.open(io.BytesIO(body)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(body)).convert("RGB")
+        except Exception as e:
+            raise RequestError(f"undecodable image body: {e}")
         arr = np.asarray(img, np.uint8)[None]
     elif ct == "application/json":
         try:
@@ -71,6 +74,8 @@ def _decode_images(body: bytes, content_type: str) -> np.ndarray:
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise RequestError(
             f"images must be (H,W,3) or (N,H,W,3), got {arr.shape}")
+    if arr.shape[0] == 0:
+        raise RequestError("empty image batch")
     if arr.dtype != np.uint8:
         if np.issubdtype(arr.dtype, np.floating) and arr.max() <= 1.0 + 1e-6:
             arr = (np.clip(arr, 0, 1) * 255).round()
@@ -239,7 +244,9 @@ class VisCoINServer:
                     params = dict(parse_qsl(url.query))
                     content_type, payload = route(images, params)
                     self._send(200, content_type, payload)
-                except RequestError as e:
+                except (RequestError, ValueError) as e:
+                    # Plain ValueError covers malformed query params
+                    # (int("abc") etc.) — client errors, not server faults.
                     self._send_json(400, {"error": str(e)})
                 except Exception as e:  # pragma: no cover - defensive
                     self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
