@@ -48,6 +48,16 @@ def main():
     IMG, NC, NK = 32, 4, 8
     mesh = make_mesh(4)
 
+    def barrier(name: str, timeout_ms: int = 600_000):
+        """Align the two ranks between phases via the coordination service
+        (NOT a device collective): each new collective XLA program creates a
+        gloo context whose key-value rendezvous has a hard ~30s deadline, so
+        inter-phase compile/retrace skew beyond that kills whichever rank
+        arrives first. The coordination barrier has a configurable timeout."""
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
     # --- global_shard_batch reassembly: the sharded loaders' local slices
     # must concatenate to exactly the unsharded loader's global batch.
     ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG, mode="train")
@@ -86,11 +96,15 @@ def main():
                          jnp.zeros((1, IMG, IMG, 3)))["params"]
 
     train_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG, mode="train")
-    test_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG, mode="test")
+    # n=6 at batch 4 leaves a ragged tail of 2: pad_final delivers it as
+    # equal per-rank slices with sentinel-masked padding — without it a
+    # sharded loader DROPS the tail and eval metrics exclude those samples
+    # (test_viscoin refuses such loaders).
+    test_ds = SyntheticDataset(n=6, n_classes=NC, image_size=IMG, mode="test")
     train_loader = DataLoader(train_ds, batch_size=4, num_threads=0,
                               shard=(pid, 2))
     test_loader = DataLoader(test_ds, batch_size=4, shuffle=False, num_threads=0,
-                             shard=(pid, 2))
+                             shard=(pid, 2), pad_final=True)
 
     # Tiny stand-in FID detector (4-d features): exercises the device-side
     # moment reduction path without an Inception network.
@@ -106,18 +120,44 @@ def main():
     os.makedirs(ckpt_dir, exist_ok=True)             # a non-shared filesystem
 
     cfg = VisCoINTrainingParams(iterations=4, batch_size=4, cd_fid_iteration=-1)
+    barrier("pre-train")
     train_viscoin(models, generator, gvars, lpips, lparams,
                   train_loader, test_loader, cfg, mesh=mesh,
                   checkpoint_dir=ckpt_dir, eval_every=2, checkpoint_every=3,
                   faithfulness_every=3, fid_detector=fid_detector)
 
     # --- standalone multi-host eval: replicated metrics identical on both
-    # ranks (printed; compared across ranks by the pytest wrapper).
-    from viscoin_tpu.eval.viscoin import test_viscoin
+    # ranks (printed; compared across ranks by the pytest wrapper). The
+    # eval step closes over module DEFS only, so ONE compiled step serves
+    # both evals (and skips a rank-skewing retrace).
+    from viscoin_tpu.eval.viscoin import make_test_step, test_viscoin
 
+    barrier("pre-eval")
+    eval_step = make_test_step(models, lpips, mesh=mesh)
     results = test_viscoin(models, lpips, lparams, test_loader,
                            compute_fid=True, fid_detector=fid_detector,
-                           verbose=False, mesh=mesh)
+                           verbose=False, mesh=mesh, step=eval_step)
+
+    # --- ragged-tail exactness: evaluate a FRESHLY-initialized bundle (a
+    # pure function of PRNGKey(0), reproducible by the single-process pytest
+    # wrapper) over the padded sharded loader; the wrapper recomputes the
+    # same eval unsharded/single-device and compares — proving the tail
+    # samples are included and the metrics match the exact averages.
+    models0 = VisCoINModels(
+        classifier=Classifier(output_classes=NC, embedding_size=8,
+                              hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1)),
+        concept_extractor=ConceptExtractor(n_concepts=NK, latent_channels=8,
+                                           input_channels1=16, input_channels2=32,
+                                           input_channels3=64),
+        explainer=Explainer(n_concepts=NK, n_classes=NC),
+        gan=GeneratorAdapted(z_dim=NK, w_dim=32, img_resolution=IMG,
+                             channel_base=256, channel_max=16),
+    )
+    models0 = init_models(models0, jax.random.PRNGKey(0), image_size=IMG)
+    barrier("pre-eval0")
+    eval0 = test_viscoin(models0, lpips, lparams, test_loader,
+                         compute_fid=True, fid_detector=fid_detector,
+                         verbose=False, mesh=mesh, step=eval_step)
 
     # --- the GAN trainer, multi-host: sharded loader slices reassemble via
     # global_shard_batch, state replicates, GSPMD all-reduces both nets'
@@ -148,9 +188,15 @@ def main():
         if gi >= 2:
             break
         gimgs = global_shard_batch(mesh, np.asarray(gimgs))
-        gan_state, gan_metrics = gan_step(gan_state, g_extras, gimgs,
-                                          jax.random.fold_in(
-                                              jax.random.PRNGKey(8), gi))
+        key = jax.random.fold_in(jax.random.PRNGKey(8), gi)
+        if gi == 0:
+            # Compile BEFORE the synchronized first dispatch: the first
+            # dispatch of a new collective program creates its gloo context
+            # (hard ~30s rendezvous), and compile-time skew between ranks
+            # can exceed that. AOT-compile per rank, barrier, then dispatch.
+            gan_step.lower(gan_state, g_extras, gimgs, key).compile()
+            barrier("gan-compiled")
+        gan_state, gan_metrics = gan_step(gan_state, g_extras, gimgs, key)
     gan_g = float(gan_metrics["g_loss"])
     gan_d = float(gan_metrics["d_loss"])
     assert np.isfinite(gan_g) and np.isfinite(gan_d)
@@ -165,6 +211,10 @@ def main():
         "acc_loss": round(results.acc_loss, 6),
         "lp_loss": round(results.lp_loss, 6),
         "fid": round(results.fid_score, 6),
+        "eval0_acc_loss": round(eval0.acc_loss, 6),
+        "eval0_lp_loss": round(eval0.lp_loss, 6),
+        "eval0_correct_preds": round(eval0.correct_preds, 6),
+        "eval0_fid": round(eval0.fid_score, 6),
         "gan_g_loss": round(gan_g, 6),
         "gan_d_loss": round(gan_d, 6),
         "wrote_ckpt": wrote_ckpt,

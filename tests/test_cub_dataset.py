@@ -89,6 +89,29 @@ def test_labeled_cub_captions(cub_root):
     assert "Albatross" in caption
 
 
+def test_labeled_cub_captions_deterministic(cub_root):
+    """Captions are a pure function of (seed, epoch, index): thread-safe
+    under the loader pool and resume-exact (the shared-rng form changed with
+    call order), while epochs still re-draw the random attributes."""
+    ds = LabeledCUB(root=cub_root, mode="train", attributes_per_label=1)
+    ds2 = LabeledCUB(root=cub_root, mode="train", attributes_per_label=1)
+    assert ds.get_caption(0) == ds.get_caption(0)  # call-order independent
+    assert ds.get_caption(0) == ds2.get_caption(0)  # instance independent
+    ds.set_epoch(1)
+    e1 = [ds.get_caption(i) for i in range(2)]
+    ds.set_epoch(2)
+    ds.get_caption(0)
+    ds.set_epoch(1)  # "resume": replaying epoch 1 reproduces its captions
+    assert [ds.get_caption(i) for i in range(2)] == e1
+
+    # concurrent access == serial access
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as pool:
+        concurrent = list(pool.map(ds.get_caption, range(4)))
+    assert concurrent == [ds.get_caption(i) for i in range(4)]
+
+
 def test_funnybirds_layout(tmp_path):
     root = tmp_path / "FunnyBirds"
     rng = np.random.default_rng(0)

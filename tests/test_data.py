@@ -206,3 +206,67 @@ def test_loader_propagates_producer_exception():
     loader = DataLoader(ds, batch_size=2, shuffle=False, num_threads=2)
     with pytest.raises(OSError, match="corrupt image"):
         list(loader)
+
+
+def test_pad_final_loader_marks_padding():
+    ds = SyntheticDataset(n=6, n_classes=4, image_size=16, mode="test")
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_threads=0,
+                        pad_final=True)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    imgs, labels = batches[1]
+    assert imgs.shape == (4, 16, 16, 3)  # full steady shape
+    assert (labels[:2] >= 0).all()
+    assert (labels[2:] == -1).all()  # sentinel-marked padding
+    # the real tail rows match the unpadded loader's tail
+    plain = list(DataLoader(ds, batch_size=4, shuffle=False, num_threads=0))
+    np.testing.assert_array_equal(imgs[:2], plain[1][0])
+    np.testing.assert_array_equal(labels[:2], plain[1][1])
+
+
+def test_pad_final_sharded_slices_reassemble():
+    ds = SyntheticDataset(n=6, n_classes=4, image_size=16, mode="test")
+    full = list(DataLoader(ds, batch_size=4, shuffle=False, num_threads=0,
+                           pad_final=True))
+    shards = [list(DataLoader(ds, batch_size=4, shuffle=False, num_threads=0,
+                              pad_final=True, shard=(r, 2))) for r in (0, 1)]
+    assert len(shards[0]) == len(full) == 2  # tail NOT dropped when padded
+    for b, (imgs, labels) in enumerate(full):
+        np.testing.assert_array_equal(
+            np.concatenate([shards[0][b][0], shards[1][b][0]]), imgs)
+        np.testing.assert_array_equal(
+            np.concatenate([shards[0][b][1], shards[1][b][1]]), labels)
+
+
+def test_pad_final_drop_last_exclusive():
+    ds = SyntheticDataset(n=6, n_classes=4, image_size=16)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DataLoader(ds, batch_size=4, drop_last=True, pad_final=True)
+
+
+def test_pad_batch_helper_masks_sentinels():
+    from viscoin_tpu.data.loader import pad_batch
+
+    imgs = np.zeros((3, 4, 4, 3), np.uint8)
+    labels = np.array([2, -1, 1])
+    p_imgs, p_labels, valid = pad_batch(4, imgs, labels)
+    assert p_imgs.shape == (4, 4, 4, 3)
+    np.testing.assert_array_equal(valid, [1, 0, 1, 0])  # sentinel + pad row
+    assert (p_labels >= 0).all()  # sentinels clamped to legal indices
+    i_only, valid2 = pad_batch(4, imgs)
+    assert i_only.shape == (4, 4, 4, 3)
+    np.testing.assert_array_equal(valid2, [1, 1, 1, 0])
+
+
+def test_classifier_trainer_rejects_batch_mismatch():
+    from viscoin_tpu.train.classifiers import (
+        ClassifierTrainingParams,
+        train_classifier,
+    )
+
+    ds = SyntheticDataset(n=8, n_classes=4, image_size=16)
+    loader = DataLoader(ds, batch_size=4, num_threads=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        train_classifier(None, None, loader, loader,
+                         ClassifierTrainingParams(batch_size=8, epochs=1))

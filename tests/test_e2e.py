@@ -142,3 +142,94 @@ def test_port_weights_script_classifier(tmp_path, monkeypatch):
                        hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
     logits, hidden = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
     assert logits.shape == (1, 5) and len(hidden) == 5
+
+
+def test_classifier_step_mesh_matches_single_device():
+    """ONE sharded classifier train step == the single-device step, tightly:
+    with SGD the update is linear in the gradient, so this asserts that the
+    GSPMD gradient all-reduce AND the BatchNorm batch statistics (mean/var
+    over the sharded batch axis) are globally exact — no Adam sign noise."""
+    import optax
+
+    from viscoin_tpu.parallel.mesh import make_mesh
+    from viscoin_tpu.train.classifiers import ClassifierState, make_classifier_train_step
+
+    model = Classifier(output_classes=NC, embedding_size=8,
+                       hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)),
+                           train=False)
+    imgs = np.random.default_rng(0).integers(0, 256, (8, IMG, IMG, 3),
+                                             dtype=np.uint8)
+    labels = np.arange(8, dtype=np.int32) % NC
+    tx = optax.sgd(1e-2)
+
+    def run(mesh):
+        state = ClassifierState(
+            params=jax.tree_util.tree_map(jnp.array, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.array,
+                                               variables["batch_stats"]),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = make_classifier_train_step(model, tx, mesh=mesh)
+        images_d, labels_d = jnp.asarray(imgs), jnp.asarray(labels)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from viscoin_tpu.parallel.mesh import image_spec, replicate
+
+            state = replicate(mesh, state)
+            images_d = jax.device_put(images_d,
+                                      NamedSharding(mesh, image_spec(mesh)))
+            labels_d = jax.device_put(labels_d, NamedSharding(mesh, P("data")))
+        new_state, loss, correct = step(state, images_d, labels_d,
+                                        jax.random.PRNGKey(1))
+        return new_state, float(loss), int(correct)
+
+    s1, loss1, correct1 = run(None)
+    sm, lossm, correctm = run(make_mesh())
+    np.testing.assert_allclose(loss1, lossm, rtol=1e-5)
+    assert correct1 == correctm
+    for a, b in zip(jax.tree_util.tree_leaves((s1.params, s1.batch_stats)),
+                    jax.tree_util.tree_leaves((sm.params, sm.batch_stats))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_train_classifier_mesh_matches_single_device():
+    """Data-parallel classifier training == single-device training: the
+    sharded step's gradients AND BatchNorm batch statistics reduce globally
+    under GSPMD, so the resulting weights match (loose Adam-scale bound;
+    the tight single-step equality is asserted above)."""
+    from viscoin_tpu.parallel.mesh import make_mesh
+    from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
+
+    def run(mesh):
+        train_ds = SyntheticDataset(n=16, n_classes=NC, image_size=IMG,
+                                    mode="train")
+        test_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG, mode="test")
+        train_loader = DataLoader(train_ds, batch_size=8, num_threads=0)
+        test_loader = DataLoader(test_ds, batch_size=8, shuffle=False,
+                                 num_threads=0)
+        model = Classifier(output_classes=NC, embedding_size=8,
+                           hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, IMG, IMG, 3)), train=False)
+        params = ClassifierTrainingParams(epochs=1, learning_rate=1e-3,
+                                          batch_size=8)
+        return train_classifier(model, variables, train_loader, test_loader,
+                                params, mesh=mesh)
+
+    best_1, acc_1 = run(None)
+    best_m, acc_m = run(make_mesh())  # 8 virtual CPU devices
+
+    assert acc_1 == acc_m
+    flat_1 = jax.tree_util.tree_leaves(best_1)
+    flat_m = jax.tree_util.tree_leaves(best_m)
+    # lr-scaled bound: post-Adam params move +-lr*sign(g) per step, so
+    # near-zero-grad elements legitimately flip on GSPMD reassociation
+    # noise — worst case 2*steps*lr = 4e-3 over the 2-step epoch (same
+    # reasoning as the spatial-sharding tests).
+    for a, b in zip(flat_1, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=4.5e-3, rtol=1e-3)

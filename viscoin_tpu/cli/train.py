@@ -86,7 +86,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
     match model_name:
         case "classifier":
             _train_classifier(dataset, checkpoints, batch_size, learning_rate,
-                              epochs, output_weights)
+                              epochs, output_weights, data_parallel)
         case "concept2clip":
             _train_concept2clip(latent_type, dataset, epochs, learning_rate,
                                 batch_size, output_weights)
@@ -125,11 +125,13 @@ def _build_mesh(data_parallel: bool, model_parallel: int):
 
 
 def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
-                      learning_rate, epochs, output_weights):
+                      learning_rate, epochs, output_weights,
+                      data_parallel: bool = True):
     from viscoin_tpu.models.resnet import Classifier
     from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
     from viscoin_tpu.utils import checkpoints as ckpt
 
+    mesh = _build_mesh(data_parallel, 1)
     params = ClassifierTrainingParams(epochs, learning_rate, batch_size)
     configure_score_logging(f"classifier_{params.epochs}.jsonl")
     train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
@@ -148,7 +150,8 @@ def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
             jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
         )
 
-    best, _ = train_classifier(model, variables, train_loader, test_loader, params)
+    best, _ = train_classifier(model, variables, train_loader, test_loader,
+                               params, mesh=mesh)
     ckpt.save_pytree(best, output_weights)
 
 
@@ -287,12 +290,10 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         while images.shape[0] != local_bs:  # shape stability under jit
             images, _ = next(it)
         if mesh is not None:
-            from jax.sharding import PartitionSpec as P
+            from viscoin_tpu.parallel.mesh import image_spec
 
-            img_spec = (P("data", "model", None, None)
-                        if "model" in mesh.axis_names else P("data"))
             images = global_shard_batch(mesh, np.asarray(images),
-                                        specs=(img_spec,))
+                                        specs=(image_spec(mesh),))
         state, metrics = step(state, g_extras, jnp.asarray(images),
                               jax.random.fold_in(base_rng, i))
         if i % 100 == 0 or i == cfg.iterations - 1:

@@ -189,13 +189,23 @@ class LabeledCUB(CUB_200_2011):
             attrs[starts[i]:starts[i + 1]] for i in range(n_images)
         ]
 
+    # Decorrelates the caption-attribute draw from the crop rng (both are
+    # keyed by (seed, epoch, index); without a tag they would share a stream).
+    _CAPTION_TAG = 0xCA7
+
     def get_caption(self, index: int) -> str:
         ai = self._abs_index(index)
         class_name = self.class_labels[int(self.labels[ai]) + 1]
         attrs = self.attributes[ai]
         labels = [self.attributes_labels[int(a)].split("::") for a in attrs]
         n = min(self.attributes_per_label, len(labels))
-        chosen = self._rng.choice(len(labels), n, replace=False) if n else []
+        # Pure function of (seed, epoch, index): thread-safe under the
+        # loader's pool (the shared self._rng is not) and resume-exact —
+        # a resumed run regenerates the identical captions (the same
+        # invariant the crop augmentation keeps, loader.py).
+        rng = np.random.default_rng(
+            (self.seed, self._epoch, index, self._CAPTION_TAG))
+        chosen = rng.choice(len(labels), n, replace=False) if n else []
         parts = [
             f"with {labels[i][1].replace('_', ' ')}"
             f"{labels[i][0].lstrip('has').replace('_', ' ')}"

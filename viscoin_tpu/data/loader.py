@@ -21,19 +21,29 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = False, num_threads: int = 8,
                  prefetch: int = 2, use_native: bool | None = None,
-                 shard: tuple[int, int] = (0, 1)):
+                 shard: tuple[int, int] = (0, 1), pad_final: bool = False):
         """``shard=(rank, world)`` makes this loader yield rank's slice of
         every GLOBAL batch (``batch_size`` stays the global size; yielded
         batches have ``batch_size // world`` rows). The global index order is
         a pure function of (seed, epoch) and identical on every rank, so the
         world's slices concatenate to exactly the single-loader batch —
         feed them to ``parallel.mesh.global_shard_batch`` on a multi-host
-        mesh. Requires world | batch_size."""
+        mesh. Requires world | batch_size.
+
+        ``pad_final``: yield the ragged final batch padded to the FULL batch
+        size, with the padding rows' labels set to -1 (consumers mask on
+        ``labels >= 0``). This is the only shape under which a SHARDED
+        loader can deliver the tail as equal per-rank slices — required for
+        exact multi-host evaluation (without it, sharded loaders drop the
+        tail and eval metrics silently exclude those samples)."""
         rank, world = shard
         if world > 1 and batch_size % world != 0:
             raise ValueError(f"batch_size={batch_size} not divisible by "
                              f"shard world size {world}")
+        if pad_final and drop_last:
+            raise ValueError("pad_final and drop_last are mutually exclusive")
         self.shard = (int(rank), int(world))
+        self.pad_final = pad_final
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +64,8 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.pad_final:
+            return -(-n // self.batch_size)
         if self.drop_last or self.shard[1] > 1:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -67,8 +79,15 @@ class DataLoader:
             # resume — skip_batches() relies on this).
             np.random.default_rng((self.seed, self._epoch)).shuffle(idx)
         rank, world = self.shard
-        # Sharded loaders drop the ragged tail: its per-rank slices would be
-        # unequal (the train loop skips ragged batches anyway).
+        if self.pad_final and n % self.batch_size:
+            # Pad the tail to a full batch with sentinel indices (-1): the
+            # builder fetches a placeholder row there and marks its label -1.
+            idx = np.concatenate(
+                [idx, np.full((-n) % self.batch_size, -1, np.int64)])
+            n = idx.shape[0]
+        # Sharded loaders (without pad_final) drop the ragged tail: its
+        # per-rank slices would be unequal (the train loop skips ragged
+        # batches anyway).
         drop = self.drop_last or world > 1
         end = (n // self.batch_size) * self.batch_size if drop else n
         per = self.batch_size // world
@@ -85,6 +104,16 @@ class DataLoader:
         self._pending_skip = k % per_epoch
 
     def _make_batch(self, indices, pool: ThreadPoolExecutor | None):
+        indices = np.asarray(indices)
+        pad_mask = indices < 0  # pad_final sentinel rows
+        if pad_mask.any():
+            # Deterministic placeholder (dataset row 0, masked by label -1):
+            # every rank pads identically, so sharded slices still
+            # concatenate to exactly the unsharded padded batch.
+            out = self._make_batch(np.where(pad_mask, 0, indices), pool)
+            labels = out[1].copy()
+            labels[pad_mask] = -1  # consumers mask padding on labels >= 0
+            return (out[0], labels, *out[2:])
         if self.use_native:
             return self._make_batch_native(indices, pool)
         if pool is not None:
@@ -118,6 +147,8 @@ class DataLoader:
         images = native.transform_batch(raws, boxes, ds.out_size,
                                         n_threads=max(self.num_threads, 1))
         labels = np.asarray([ds._label(int(i)) for i in indices], np.int32)
+        if hasattr(ds, "get_caption"):  # captioned datasets keep their arity
+            return images, labels, [ds.get_caption(int(i)) for i in indices]
         return images, labels
 
     def __iter__(self):
@@ -184,3 +215,26 @@ def loop_iter(loader):
     """Infinite cycling iterator (reference: viscoin/training/utils.py:45)."""
     while True:
         yield from loader
+
+
+def pad_batch(batch_size: int, images, labels=None):
+    """Pad a ragged final batch up to the steady shape (repeat-first-row) and
+    return the float validity mask — the shared eval-side companion of the
+    loader: short batches mask by row count, ``pad_final`` batches by their
+    sentinel label -1 (which is also clamped back to a legal index).
+
+    Returns ``(images, valid)`` or ``(images, labels, valid)``."""
+    images = np.asarray(images)
+    n = images.shape[0]
+    if n < batch_size:
+        pad = batch_size - n
+        images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
+        if labels is not None:
+            labels = np.concatenate(
+                [np.asarray(labels), np.repeat(np.asarray(labels)[:1], pad)])
+    valid = (np.arange(batch_size) < n).astype(np.float32)
+    if labels is None:
+        return images, valid
+    labels = np.asarray(labels)
+    valid = valid * (labels >= 0)
+    return images, np.maximum(labels, 0), valid

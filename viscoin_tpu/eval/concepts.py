@@ -131,14 +131,13 @@ def test_concepts(models: VisCoINModels, dataloader, n_classes: int) -> ConceptT
     cls_accs, expl_accs = [], []
     total = 0
     batch_size = dataloader.batch_size
+    from viscoin_tpu.data.loader import pad_batch
+
     for images, labels in dataloader:
-        n = images.shape[0]
-        if n < batch_size:
-            pad = batch_size - n
-            images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
-            labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
-        valid = jnp.asarray((np.arange(batch_size) < n).astype(np.float32))
-        out = batch_stats(variables, jnp.asarray(images), jnp.asarray(labels), valid)
+        images, labels, valid_np = pad_batch(batch_size, images, labels)
+        n = int(valid_np.sum())
+        out = batch_stats(variables, jnp.asarray(images), jnp.asarray(labels),
+                          jnp.asarray(valid_np))
         cls_accs.append(float(out["cls_correct"]) / n)
         expl_accs.append(float(out["expl_correct"]) / n)
         for k in ["act_sorted", "act_sum", "corr", "class_corr", "class_counts"]:

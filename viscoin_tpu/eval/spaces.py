@@ -37,14 +37,15 @@ def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str) -> np.
                                  return_latents=True, noise_mode="const")
         return ws
 
+    from viscoin_tpu.data.loader import pad_batch
+
     out = []
     n = len(dataset)
     for s in range(0, n, batch_size):
         idx = list(range(s, min(s + batch_size, n)))
-        images = np.stack([dataset[i][0] for i in idx])
-        if images.shape[0] < batch_size:  # pad for shape stability
-            pad = batch_size - images.shape[0]
-            images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
+        # pad for shape stability; padded rows sliced off below
+        images, _ = pad_batch(batch_size,
+                              np.stack([dataset[i][0] for i in idx]))
         res = np.asarray(fwd(variables, jnp.asarray(images)))[: len(idx)]
         out.append(res)
     return np.concatenate(out, axis=0)

@@ -121,15 +121,15 @@ def make_test_step(models: VisCoINModels, lpips_module, mesh=None):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from viscoin_tpu.parallel.mesh import image_spec
+
     rep = NamedSharding(mesh, P())
     sh = NamedSharding(mesh, P("data"))
     # 2-D (data, model) mesh: eval images spatially shard their H axis over
     # "model" like the train step (otherwise the model axis idles through
     # every eval). The caller (test_viscoin) places batches with this exact
     # spec — jit refuses to reshard committed arrays.
-    img_spec = (P("data", "model", None, None) if "model" in mesh.axis_names
-                else P("data"))
-    img = NamedSharding(mesh, img_spec)
+    img = NamedSharding(mesh, image_spec(mesh))
     return jax.jit(step, in_shardings=(rep, rep, img, sh, sh),
                    out_shardings=(rep, img, img), compiler_options=copts)
 
@@ -198,6 +198,15 @@ def test_viscoin(
             raise ValueError(
                 f"multi-host test_viscoin needs a sharded loader: loader "
                 f"shard world {world} != process_count {jax.process_count()}")
+        if (not getattr(dataloader, "pad_final", False)
+                and len(dataloader.dataset) % dataloader.batch_size):
+            # A sharded loader without pad_final DROPS the ragged tail, so
+            # the metrics would silently exclude those samples — refuse
+            # (the exact-average contract below is the whole point).
+            raise ValueError(
+                "multi-host test_viscoin needs DataLoader(pad_final=True): "
+                f"the dataset ({len(dataloader.dataset)} samples) has a "
+                f"ragged final batch that a sharded loader would drop")
     if step is None:
         step = make_test_step(models, lpips_module, mesh=mesh)
     variables = _bundle_variables(models)
@@ -212,28 +221,32 @@ def test_viscoin(
     if compute_fid and fid_detector is not None and mesh is not None:
         fid_moments = make_fid_moments(mesh)
 
+    from viscoin_tpu.data.loader import pad_batch
+
     for images, labels in dataloader:
-        n = images.shape[0]
-        if n < local_bs:
-            pad = local_bs - n
-            images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
-            labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
-        valid = (np.arange(local_bs) < n).astype(np.float32)
+        # Padding rows are masked two ways (pad_batch): host-side short
+        # batches by row count, pad_final loaders (full-size batches, the
+        # multi-host tail) by their sentinel label -1. Padding is always a
+        # suffix of the batch, so the valid count doubles as a slice bound
+        # (host-side FID path below).
+        images, labels, valid = pad_batch(local_bs, images, labels)
+        n = int(valid.sum())
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            from viscoin_tpu.parallel.mesh import global_shard_batch
+            from viscoin_tpu.parallel.mesh import global_shard_batch, image_spec
 
-            img_spec = (P("data", "model", None, None)
-                        if "model" in mesh.axis_names else P("data"))
             images, labels, valid = global_shard_batch(
-                mesh, images, np.asarray(labels), valid,
-                specs=(img_spec, P("data"), P("data")))
+                mesh, images, labels, valid,
+                specs=(image_spec(mesh), P("data"), P("data")))
         else:
             images, labels, valid = (jnp.asarray(images), jnp.asarray(labels),
                                      jnp.asarray(valid))
         metrics, rebuilt, x = step(variables, lpips_params, images, labels, valid)
-        for k, v in metrics.items():
+        # ONE transfer for all 10 scalars: a float() per metric is a separate
+        # blocking device round trip (expensive through the relay; this runs
+        # inside the training loop every 2000 iterations).
+        for k, v in jax.device_get(metrics).items():
             sums[k] = sums.get(k, 0.0) + float(v)
         if compute_fid and fid_detector is not None:
             if fid_moments is not None:

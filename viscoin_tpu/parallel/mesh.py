@@ -99,6 +99,17 @@ def image_sharding(mesh: Mesh, batch_axis: str = "data",
     return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))
 
 
+def image_spec(mesh: Mesh) -> P:
+    """The NHWC image PartitionSpec for this mesh: (batch, H) over
+    (data, model) on a 2-D mesh, batch-only on a 1-D mesh. Single source for
+    every site that places image batches — the loop's placement must match
+    the jitted step's in_shardings exactly (jit refuses to reshard committed
+    arrays)."""
+    if "model" in mesh.axis_names:
+        return P("data", "model", None, None)
+    return P("data")
+
+
 def global_shard_batch(mesh: Mesh, *arrays, axis: str = "data", specs=None):
     """Multi-host form of :func:`shard_batch`: each process passes its LOCAL
     slice of the global batch (loaded with ``DataLoader(shard=(process_index,

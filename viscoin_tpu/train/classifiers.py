@@ -42,7 +42,13 @@ class ClassifierState(struct.PyTreeNode):
     step: jax.Array
 
 
-def make_classifier_train_step(classifier, tx):
+def make_classifier_train_step(classifier, tx, mesh=None):
+    """One jitted train step. With ``mesh``, the batch shards over the
+    ``data`` axis (2-D meshes additionally shard the images' H axis over
+    ``model``) and the state replicates — GSPMD all-reduces the gradients
+    AND the BatchNorm batch statistics (jnp.mean over a sharded axis has
+    global semantics under GSPMD, so the running stats match the
+    single-device step exactly)."""
     def step(state: ClassifierState, images_u8, labels, rng):
         flips = jax.random.bernoulli(rng, 0.5, (images_u8.shape[0],))
         x = device_preprocess(images_u8, flips)
@@ -66,14 +72,40 @@ def make_classifier_train_step(classifier, tx):
                                   opt_state=opt_state, step=state.step + 1)
         return new_state, loss, correct
 
-    return jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from viscoin_tpu.parallel.mesh import image_spec
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(rep, NamedSharding(mesh, image_spec(mesh)),
+                      NamedSharding(mesh, P("data")), rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0,),
+    )
 
 
 def train_classifier(classifier, variables, train_loader, test_loader,
-                     params: ClassifierTrainingParams, seed: int = 0):
+                     params: ClassifierTrainingParams, seed: int = 0,
+                     mesh=None):
     """Train and return the variables of the best-test-accuracy model
-    (reference: training/classifiers.py:32-120)."""
+    (reference: training/classifiers.py:32-120). With ``mesh``, every
+    batch (train step AND per-epoch eval) shards over the ``data`` axis —
+    the classifier trainer scales like the ensemble loop (new capability,
+    the reference is single-GPU)."""
     logger = get_logger()
+    # Fail fast: the ragged-batch skip in the epoch loop drops EVERY batch
+    # when the loader's batch size differs — all epochs would silently be
+    # no-ops and the init weights would come back as "best" (same guard as
+    # train_viscoin).
+    loader_bs = getattr(train_loader, "batch_size", params.batch_size)
+    if loader_bs != params.batch_size:
+        raise ValueError(f"train_loader.batch_size={loader_bs} != "
+                         f"params.batch_size={params.batch_size}")
     # StepLR(step_size=30, gamma=0.1) on epochs → piecewise-constant on steps.
     steps_per_epoch = max(1, len(train_loader))
     schedule = optax.piecewise_constant_schedule(
@@ -89,8 +121,18 @@ def train_classifier(classifier, variables, train_loader, test_loader,
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    step_fn = make_classifier_train_step(classifier, tx)
+    step_fn = make_classifier_train_step(classifier, tx, mesh=mesh)
     rng = jax.random.PRNGKey(seed)
+    if mesh is not None:
+        from viscoin_tpu.parallel.mesh import replicate
+
+        state = replicate(mesh, state)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from viscoin_tpu.parallel.mesh import image_spec
+
+        img_sh = NamedSharding(mesh, image_spec(mesh))
+        lbl_sh = NamedSharding(mesh, P("data"))
 
     best_accuracy = 0.0
     # Host copy: the jitted step donates the state, so aliasing the initial
@@ -105,8 +147,14 @@ def train_classifier(classifier, variables, train_loader, test_loader,
             if images.shape[0] != params.batch_size:
                 continue  # drop ragged last batch (shape stability)
             rng, k = jax.random.split(rng)
-            state, loss, correct = step_fn(state, jnp.asarray(images),
-                                           jnp.asarray(labels.astype(np.int32)), k)
+            images = jnp.asarray(images)
+            labels = jnp.asarray(labels.astype(np.int32))
+            if mesh is not None:
+                # Place with the step's exact specs (jit refuses to reshard
+                # committed arrays).
+                images = jax.device_put(images, img_sh)
+                labels = jax.device_put(labels, lbl_sh)
+            state, loss, correct = step_fn(state, images, labels, k)
             total_correct += int(correct)
             total_loss += float(loss)
             total_samples += images.shape[0]
@@ -117,7 +165,7 @@ def train_classifier(classifier, variables, train_loader, test_loader,
 
         test_vars = {"params": state.params, "batch_stats": state.batch_stats}
         accuracy, mean_loss = test_classifier(classifier, test_vars, test_loader,
-                                              verbose=False)
+                                              verbose=False, mesh=mesh)
         if accuracy > best_accuracy:
             best_accuracy = accuracy
             best = jax.tree_util.tree_map(np.asarray, test_vars)

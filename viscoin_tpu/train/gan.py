@@ -156,7 +156,9 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
     g_tx, d_tx = _optimizers(cfg)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    spatial_sh = (NamedSharding(mesh, P("data", "model", None, None))
+    from viscoin_tpu.parallel.mesh import image_spec
+
+    spatial_sh = (NamedSharding(mesh, image_spec(mesh))
                   if mesh is not None and "model" in mesh.axis_names else None)
     # num_ws is a pure function of the (static) resolution. Submodules (and
     # setup()-derived attributes) only exist on BOUND flax modules, so

@@ -23,6 +23,7 @@ call stack SURVEY.md §3.1). TPU-first redesign:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -187,6 +188,16 @@ def make_cast(compute_dtype):
 _SAMPLER_TAG = 0x53414D50  # "SAMP": decorrelates sampler keys from step keys
 
 
+@functools.lru_cache(maxsize=8)
+def _fake_sample_keys_fn(k: int):
+    def keys(base_rng, group_start):
+        steps = group_start + jnp.arange(k)
+        return jax.vmap(lambda j: jax.random.fold_in(
+            jax.random.fold_in(base_rng, j), _SAMPLER_TAG))(steps)
+
+    return jax.jit(keys)
+
+
 def fake_sample_keys(base_rng, group_start: int, k: int):
     """Stacked per-step sampler keys for steps [group_start, group_start+k):
     ``fold_in(fold_in(base, step), TAG)``. The TAG fold makes the sampler
@@ -194,11 +205,14 @@ def fake_sample_keys(base_rng, group_start: int, k: int):
     split is counter-prefix stable (``split(key, n)[0]`` is the same for
     every n), so splitting the RAW step key here would hand the sampler the
     exact key the train step uses for its flip mask — correlating
-    augmentation with the synthetic batch."""
-    return jnp.stack([
-        jax.random.fold_in(jax.random.fold_in(base_rng, j), _SAMPLER_TAG)
-        for j in range(group_start, group_start + k)
-    ])
+    augmentation with the synthetic batch.
+
+    One jitted program (cached per k, group_start a runtime scalar): the
+    eager form dispatched 2k fold_in ops on the relay-attached device every
+    K-group of the hot loop. Key VALUES are identical — fold_in over a
+    traced step index computes the same hash — so resume streams are
+    unchanged (covered by the resume-determinism tests)."""
+    return _fake_sample_keys_fn(k)(base_rng, group_start)
 
 
 def make_sample_fakes(generator_gan, cfg: VisCoINTrainingParams, mesh=None):
@@ -242,12 +256,13 @@ def make_sample_fakes(generator_gan, cfg: VisCoINTrainingParams, mesh=None):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from viscoin_tpu.parallel.mesh import image_spec
+
     replicated = NamedSharding(mesh, P())
     # 2-D (data, model) mesh: additionally shard the sample images' H axis
     # over the model axis (spatial sharding — the step consumes them with
-    # the same layout).
-    spatial = "model" in mesh.axis_names
-    out = P(None, "data", "model") if spatial else P(None, "data")
+    # the same image_spec layout); leading K dim replicated.
+    out = P(None, *image_spec(mesh))
     return jax.jit(
         sample,
         in_shardings=(replicated, replicated),
@@ -587,18 +602,16 @@ def train_viscoin(
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            from viscoin_tpu.parallel.mesh import global_shard_batch
+            from viscoin_tpu.parallel.mesh import global_shard_batch, image_spec
 
             # On one process == shard_batch; on a multi-host mesh each
             # process contributes its loader shard of the global batch.
             # 2-D mesh: images must be placed with the step's exact spatial
-            # sharding (H over "model") — jit refuses to reshard committed
+            # sharding (image_spec) — jit refuses to reshard committed
             # arrays.
-            img_spec = (P("data", "model", None, None)
-                        if "model" in mesh.axis_names else P("data"))
             images, labels = global_shard_batch(
                 mesh, images, labels.astype("int32"),
-                specs=(img_spec, P("data")))
+                specs=(image_spec(mesh), P("data")))
         else:
             images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
         state, metrics = step_fn(state, frozen, images, labels, k,
@@ -723,10 +736,10 @@ def make_jitted_train_step(models, generator_gan, lpips_module, cfg,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from viscoin_tpu.parallel.mesh import image_spec
+
     replicated = NamedSharding(mesh, P())
-    spatial = "model" in mesh.axis_names
-    img_spec = P("data", "model") if spatial else P("data")
-    img_sharded = NamedSharding(mesh, img_spec)
+    img_sharded = NamedSharding(mesh, image_spec(mesh))
     batch_sharded = NamedSharding(mesh, P("data"))
     in_sh = [replicated, replicated, img_sharded, batch_sharded, replicated]
     if external_fakes:
