@@ -79,6 +79,40 @@ def test_concept2clip_training_round(rng):
     assert np.isfinite(best_loss)
 
 
+def test_train_concept2clip_mesh_matches_single_device(rng):
+    """Data-parallel concept2clip training == single-device training (the
+    third and last trainer to gain a mesh; GSPMD all-reduces the MSE
+    gradients). Loose Adam-scale bound: post-Adam params move ±lr·sign(g)
+    per step, so near-zero-grad elements flip on reassociation noise —
+    worst case 2·steps·lr = 8e-5 over the 4 steps."""
+    from viscoin_tpu.models.concept2clip import Concept2CLIP
+    from viscoin_tpu.parallel.mesh import make_mesh
+    from viscoin_tpu.train.concept2clip import (
+        Concept2ClipTrainingParams,
+        train_concept2clip,
+    )
+
+    nk, dim = 4, 8
+    model = Concept2CLIP(n_concepts=nk, clip_dim=dim)
+    spaces = rng.standard_normal((24, 3, 3, nk)).astype(np.float32)
+    emb = rng.standard_normal((24, dim)).astype(np.float32)
+    init_params = model.init(jax.random.PRNGKey(0), jnp.asarray(spaces[:1]))["params"]
+
+    def run(mesh):
+        return train_concept2clip(
+            model, init_params, spaces[:16], emb[:16], spaces[16:], emb[16:],
+            Concept2ClipTrainingParams(epochs=2, batch_size=8), mesh=mesh,
+        )
+
+    best_1, loss_1 = run(None)
+    best_m, loss_m = run(make_mesh())  # 8 virtual CPU devices
+    np.testing.assert_allclose(loss_1, loss_m, rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(best_1),
+                    jax.tree_util.tree_leaves(best_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_inception_converter_keys():
     """convert_torch_inception maps a synthetic torchvision-style state dict
     onto the module tree (smoke: key structure only, torchvision not installed)."""

@@ -152,6 +152,70 @@ def test_test_concept2clip(rng):
     assert np.isfinite(loss) and 0 <= match <= 1
 
 
+def test_test_concept2clip_mesh_matches(rng):
+    """Mesh-sharded concept2clip eval == single-device eval, including the
+    ragged final batch (padded to the steady shape, sliced before metrics)."""
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    model = Concept2CLIP(n_concepts=NK, clip_dim=12)
+    phi = rng.standard_normal((20, 3, 3, NK)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(phi[:1]))["params"]
+    emb = rng.standard_normal((20, 12)).astype(np.float32)
+
+    def run(mesh):  # batch 8 over n=20 → ragged final batch of 4
+        loader = TensorLoader(phi, emb, batch_size=8, shuffle=False)
+        return eval_concept2clip(model, params, loader, verbose=False, mesh=mesh)
+
+    loss1, match1 = run(None)
+    lossm, matchm = run(make_mesh())
+    np.testing.assert_allclose(loss1, lossm, rtol=1e-6)
+    np.testing.assert_allclose(match1, matchm, rtol=1e-6)
+
+
+def test_test_concept2clip_mesh_refuses_indivisible_batch(rng):
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    model = Concept2CLIP(n_concepts=NK, clip_dim=12)
+    phi = rng.standard_normal((6, 3, 3, NK)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(phi[:1]))["params"]
+    emb = rng.standard_normal((6, 12)).astype(np.float32)
+    loader = TensorLoader(phi, emb, batch_size=6, shuffle=False)
+    with pytest.raises(ValueError, match="does not divide"):
+        eval_concept2clip(model, params, loader, verbose=False, mesh=make_mesh())
+
+
+def test_compute_spaces_shapes_cache_and_mesh(models, tmp_path):
+    """compute_concept_space / compute_w_space: shapes, .npz cache hit, and
+    mesh-DP parity (row-independent forward → identical results)."""
+    from viscoin_tpu.eval.spaces import compute_concept_space, compute_w_space
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    train_ds = SyntheticDataset(n=10, n_classes=NC, image_size=IMG, mode="test")
+    test_ds = SyntheticDataset(n=6, n_classes=NC, image_size=IMG, mode="test")
+
+    tr, te = compute_concept_space(models, "syn", train_ds, test_ds,
+                                   batch_size=8, cache_dir=str(tmp_path / "c1"))
+    assert tr.shape == (10, 3, 3, NK) and te.shape == (6, 3, 3, NK)
+    tr2, te2 = compute_concept_space(models, "syn", train_ds, test_ds,
+                                     batch_size=8, cache_dir=str(tmp_path / "c1"))
+    np.testing.assert_array_equal(tr, tr2)  # cache hit
+
+    mesh = make_mesh()
+    trm, tem = compute_concept_space(models, "syn", train_ds, test_ds,
+                                     batch_size=8, cache_dir=str(tmp_path / "c2"),
+                                     mesh=mesh)
+    np.testing.assert_allclose(trm, tr, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(tem, te, rtol=1e-5, atol=1e-6)
+
+    wtr, wte = compute_w_space(models, "syn", train_ds, test_ds, batch_size=8,
+                               cache_dir=str(tmp_path / "w1"))
+    assert wtr.shape == (10, models.gan.num_ws, models.gan.w_dim)
+    assert wte.shape == (6, models.gan.num_ws, models.gan.w_dim)
+    wtrm, _ = compute_w_space(models, "syn", train_ds, test_ds, batch_size=8,
+                              cache_dir=str(tmp_path / "w2"), mesh=mesh)
+    np.testing.assert_allclose(wtrm, wtr, rtol=1e-5, atol=1e-6)
+
+
 def test_test_viscoin_batch_size_invariant(models):
     """Metrics are exact valid-sample averages: changing the batch size (and
     hence the final ragged batch) must not change any metric (divergence from

@@ -89,7 +89,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                               epochs, output_weights, data_parallel)
         case "concept2clip":
             _train_concept2clip(latent_type, dataset, epochs, learning_rate,
-                                batch_size, output_weights)
+                                batch_size, output_weights, data_parallel)
         case "viscoin":
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
@@ -156,7 +156,8 @@ def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
 
 
 def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
-                        learning_rate, batch_size, output_weights):
+                        learning_rate, batch_size, output_weights,
+                        data_parallel: bool = True):
     import numpy as np
 
     from viscoin_tpu.data.utils import get_datasets
@@ -173,14 +174,20 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
     params = Concept2ClipTrainingParams(epochs=epochs, learning_rate=learning_rate,
                                         batch_size=batch_size)
     configure_score_logging(f"concept2clip_{params.epochs}.jsonl")
+    mesh = _build_mesh(data_parallel, 1)
+    if mesh is not None and (params.batch_size % mesh.shape["data"]
+                             or 32 % mesh.shape["data"]):  # 32 = spaces batch
+        mesh = None  # tiny-MLP trainer: fall back rather than refuse
 
     train_ds, test_ds = get_datasets(dataset, "test")
     if latent_type == "viscoin":
         train_spaces, test_spaces = compute_concept_space(viscoin, dataset,
-                                                          train_ds, test_ds)
+                                                          train_ds, test_ds,
+                                                          mesh=mesh)
         model = Concept2CLIP(n_concepts=viscoin.concept_extractor.n_concepts)
     else:
-        train_spaces, test_spaces = compute_w_space(viscoin, dataset, train_ds, test_ds)
+        train_spaces, test_spaces = compute_w_space(viscoin, dataset, train_ds,
+                                                    test_ds, mesh=mesh)
         model = Concept2CLIPStyleGAN(n_style_layers=viscoin.gan.num_ws,
                                      layer_dim=viscoin.gan.w_dim)
 
@@ -193,7 +200,8 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
                              jnp.asarray(train_spaces[:1]))["params"]
     best, _ = train_concept2clip(model, init_params,
                                  np.asarray(train_spaces), np.asarray(train_emb),
-                                 np.asarray(test_spaces), np.asarray(test_emb), params)
+                                 np.asarray(test_spaces), np.asarray(test_emb),
+                                 params, mesh=mesh)
     ckpt.save_pytree(best, output_weights)
 
 

@@ -17,14 +17,14 @@ from viscoin_tpu.data.transforms import device_preprocess
 from viscoin_tpu.models.bundle import VisCoINModels
 
 
-def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str) -> np.ndarray:
+def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str,
+              mesh=None) -> np.ndarray:
     variables = {
         "classifier": models.classifier_vars,
         "psi": models.concept_params,
         "gan": models.gan_vars,
     }
 
-    @jax.jit
     def fwd(variables, images_u8):
         x = device_preprocess(images_u8)
         _, hidden = models.classifier.apply(variables["classifier"], x, train=False)
@@ -37,6 +37,23 @@ def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str) -> np.
                                  return_latents=True, noise_mode="const")
         return ws
 
+    if mesh is None:
+        fwd = jax.jit(fwd)
+        img_sh = None
+    else:
+        # Data-parallel precompute: images shard over 'data' (2-D meshes
+        # additionally shard H over 'model'), frozen weights replicate.
+        # Row-independent forward → identical to the single-device path.
+        from jax.sharding import NamedSharding
+
+        from viscoin_tpu.eval.concept2clip import _check_mesh
+        from viscoin_tpu.parallel.mesh import image_spec, replicated
+
+        _check_mesh(mesh, batch_size)
+        img_sh = NamedSharding(mesh, image_spec(mesh))
+        fwd = jax.jit(fwd, in_shardings=(replicated(mesh), img_sh),
+                      out_shardings=replicated(mesh))
+
     from viscoin_tpu.data.loader import pad_batch
 
     out = []
@@ -46,22 +63,25 @@ def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str) -> np.
         # pad for shape stability; padded rows sliced off below
         images, _ = pad_batch(batch_size,
                               np.stack([dataset[i][0] for i in idx]))
-        res = np.asarray(fwd(variables, jnp.asarray(images)))[: len(idx)]
+        images = jnp.asarray(images)
+        if img_sh is not None:
+            images = jax.device_put(images, img_sh)
+        res = np.asarray(fwd(variables, images))[: len(idx)]
         out.append(res)
     return np.concatenate(out, axis=0)
 
 
 def compute_concept_space(models: VisCoINModels, dataset_name: str,
                           train_ds, test_ds, batch_size: int = 32,
-                          cache_dir: str = "checkpoints/concepts"):
+                          cache_dir: str = "checkpoints/concepts", mesh=None):
     """Phi over both splits, cached (reference: models/utils.py:108-174).
     Returns NHWC (N, 3, 3, K) arrays."""
     cache = os.path.join(cache_dir, f"{dataset_name}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         return data["train"], data["test"]
-    train = _run_over(models, train_ds, batch_size, "concepts")
-    test = _run_over(models, test_ds, batch_size, "concepts")
+    train = _run_over(models, train_ds, batch_size, "concepts", mesh=mesh)
+    test = _run_over(models, test_ds, batch_size, "concepts", mesh=mesh)
     os.makedirs(cache_dir, exist_ok=True)
     np.savez(cache, train=train, test=test)
     return train, test
@@ -69,15 +89,15 @@ def compute_concept_space(models: VisCoINModels, dataset_name: str,
 
 def compute_w_space(models: VisCoINModels, dataset_name: str,
                     train_ds, test_ds, batch_size: int = 32,
-                    cache_dir: str = "checkpoints/gan-w"):
+                    cache_dir: str = "checkpoints/gan-w", mesh=None):
     """W+ over both splits, cached (reference: models/utils.py:27-106).
     Returns (N, num_ws, w_dim) arrays."""
     cache = os.path.join(cache_dir, f"{dataset_name}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         return data["train"], data["test"]
-    train = _run_over(models, train_ds, batch_size, "w")
-    test = _run_over(models, test_ds, batch_size, "w")
+    train = _run_over(models, train_ds, batch_size, "w", mesh=mesh)
+    test = _run_over(models, test_ds, batch_size, "w", mesh=mesh)
     os.makedirs(cache_dir, exist_ok=True)
     np.savez(cache, train=train, test=test)
     return train, test
