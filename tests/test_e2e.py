@@ -267,3 +267,25 @@ def test_train_classifier_mesh_matches_single_device():
     for a, b in zip(flat_1, flat_m):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=4.5e-3, rtol=1e-3)
+
+def test_train_classifier_mesh_refuses_indivisible_batch():
+    """An indivisible batch fails fast with a clear ValueError instead of a
+    cryptic XLA sharding error at the first mid-epoch device_put."""
+    import pytest
+
+    from viscoin_tpu.parallel.mesh import make_mesh
+    from viscoin_tpu.train.classifiers import (
+        ClassifierTrainingParams,
+        train_classifier,
+    )
+
+    train_ds = SyntheticDataset(n=6, n_classes=NC, image_size=IMG, mode="train")
+    loader = DataLoader(train_ds, batch_size=6, num_threads=0)
+    model = Classifier(output_classes=NC, embedding_size=8,
+                       hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)),
+                           train=False)
+    params = ClassifierTrainingParams(epochs=1, batch_size=6)
+    with pytest.raises(ValueError, match="does not divide"):
+        train_classifier(model, variables, loader, loader, params,
+                         mesh=make_mesh())  # 8 devices, batch 6

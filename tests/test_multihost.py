@@ -70,6 +70,16 @@ def test_two_process_training(tmp_path):
             results[0][f"eval0_{key}"], ref[key], rtol=2e-4, atol=2e-4,
             err_msg=f"multi-host padded eval diverges on {key}")
 
+    # Checkpoints + jsonl logs are process-0-only (per-rank dirs simulate a
+    # non-shared filesystem).
+    assert results[0]["wrote_ckpt"] and not results[1]["wrote_ckpt"]
+    assert results[0]["n_log_lines"] >= 2  # evals at iterations 0 and 2
+    assert results[1]["n_log_lines"] == 0
+
+    # The faithfulness probe ran once, on rank 0.
+    assert "Faithfullness stats" in outs[0]
+    assert "Faithfullness stats" not in outs[1]
+
 
 def _reference_eval0():
     """The single-process, unsharded version of the workers' eval0."""
@@ -114,13 +124,3 @@ def _reference_eval0():
                        fid_detector=fid_detector, verbose=False)
     return {"acc_loss": res.acc_loss, "lp_loss": res.lp_loss,
             "correct_preds": res.correct_preds, "fid": res.fid_score}
-
-    # Checkpoints + jsonl logs are process-0-only (per-rank dirs simulate a
-    # non-shared filesystem).
-    assert results[0]["wrote_ckpt"] and not results[1]["wrote_ckpt"]
-    assert results[0]["n_log_lines"] >= 2  # evals at iterations 0 and 2
-    assert results[1]["n_log_lines"] == 0
-
-    # The faithfulness probe ran once, on rank 0.
-    assert "Faithfullness stats" in outs[0]
-    assert "Faithfullness stats" not in outs[1]

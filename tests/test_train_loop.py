@@ -158,6 +158,56 @@ def test_train_viscoin_resume_deterministic(tiny, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_train_viscoin_resume_deterministic_mesh(tiny, tmp_path):
+    """Resume on a data mesh: the restore must happen BEFORE replication
+    (restore_train_state returns host numpy leaves; the mesh jit needs
+    committed replicated state — on multi-host an implicit per-leaf
+    device_put would run startup collectives, see parallel.mesh.replicate),
+    and the resumed mesh run must replay the unbroken mesh run exactly."""
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    models, generator, gvars, lpips, lparams = tiny
+    mesh = make_mesh(2)  # batch 2 → 1 row per device
+    snapshot = jax.tree_util.tree_map(np.copy, (models.classifier_vars,
+                                                models.concept_params,
+                                                models.explainer_params,
+                                                models.gan_vars))
+
+    def restore_bundle():
+        (models.classifier_vars, models.concept_params,
+         models.explainer_params, models.gan_vars) = jax.tree_util.tree_map(
+            np.copy, snapshot)
+
+    def run(iterations, ckpt_dir, resume_from=None, checkpoint_every=100):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if resume_from is None:
+            restore_bundle()
+        train_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG,
+                                    mode="train")
+        test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG,
+                                   mode="test")
+        tl = DataLoader(train_ds, batch_size=2, num_threads=0, seed=7)
+        el = DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0)
+        cfg = VisCoINTrainingParams(iterations=iterations, batch_size=2,
+                                    cd_fid_iteration=-1)
+        out = train_viscoin(models, generator, gvars, lpips, lparams, tl, el,
+                            cfg, mesh=mesh, checkpoint_dir=ckpt_dir,
+                            eval_every=100, checkpoint_every=checkpoint_every,
+                            faithfulness_every=0, resume_from=resume_from)
+        return jax.tree_util.tree_map(np.asarray, (out.concept_params,
+                                                   out.explainer_params))
+
+    unbroken = run(4, str(tmp_path / "a"))
+    restore_bundle()
+    run(2, str(tmp_path / "b"), checkpoint_every=1)  # saves state at i=1 (step 2)
+    resumed = run(4, str(tmp_path / "b"),
+                  resume_from=str(tmp_path / "b" / "train_state"))
+
+    for a, b in zip(jax.tree_util.tree_leaves(unbroken),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_train_viscoin_rejects_mismatched_shard_world(tiny, tmp_path):
     """A shard=(rank, world) loader must match jax.process_count(): the
     world-4 loader yields batch_size//4 rows, which would otherwise spin the

@@ -161,7 +161,11 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
     import numpy as np
 
     from viscoin_tpu.data.utils import get_datasets
-    from viscoin_tpu.eval.spaces import compute_concept_space, compute_w_space
+    from viscoin_tpu.eval.spaces import (
+        SPACES_BATCH_SIZE,
+        compute_concept_space,
+        compute_w_space,
+    )
     from viscoin_tpu.models.clip import CLIP, compute_image_embeddings
     from viscoin_tpu.models.concept2clip import Concept2CLIP, Concept2CLIPStyleGAN
     from viscoin_tpu.train.concept2clip import (
@@ -176,7 +180,7 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
     configure_score_logging(f"concept2clip_{params.epochs}.jsonl")
     mesh = _build_mesh(data_parallel, 1)
     if mesh is not None and (params.batch_size % mesh.shape["data"]
-                             or 32 % mesh.shape["data"]):  # 32 = spaces batch
+                             or SPACES_BATCH_SIZE % mesh.shape["data"]):
         mesh = None  # tiny-MLP trainer: fall back rather than refuse
 
     train_ds, test_ds = get_datasets(dataset, "test")
@@ -273,9 +277,6 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                                              jax.random.PRNGKey(seed), cfg, size)
     mesh = _build_mesh(data_parallel, model_parallel)
     step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
-    if mesh is not None:
-        state = replicate(mesh, state)
-        g_extras = replicate(mesh, g_extras)
 
     state_path = f"{output_weights}.train_state"
     resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
@@ -283,6 +284,11 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     if resume_from:
         state = ckpt.restore_gan_train_state(state, resume_from,
                                              expect_meta=resume_meta)
+    if mesh is not None:
+        # Replicate AFTER any restore: restore returns host numpy leaves
+        # (see train_viscoin's identical ordering).
+        state = replicate(mesh, state)
+        g_extras = replicate(mesh, g_extras)
 
     it = loop_iter(train_loader)
     base_rng = jax.random.PRNGKey(seed)

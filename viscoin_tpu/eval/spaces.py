@@ -16,6 +16,10 @@ import jax.numpy as jnp
 from viscoin_tpu.data.transforms import device_preprocess
 from viscoin_tpu.models.bundle import VisCoINModels
 
+# Default precompute batch: shared with the CLI's mesh-divisibility fallback
+# (cli/train.py) so the two sites cannot desync.
+SPACES_BATCH_SIZE = 32
+
 
 def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str,
               mesh=None) -> np.ndarray:
@@ -72,7 +76,7 @@ def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str,
 
 
 def compute_concept_space(models: VisCoINModels, dataset_name: str,
-                          train_ds, test_ds, batch_size: int = 32,
+                          train_ds, test_ds, batch_size: int = SPACES_BATCH_SIZE,
                           cache_dir: str = "checkpoints/concepts", mesh=None):
     """Phi over both splits, cached (reference: models/utils.py:108-174).
     Returns NHWC (N, 3, 3, K) arrays."""
@@ -88,7 +92,7 @@ def compute_concept_space(models: VisCoINModels, dataset_name: str,
 
 
 def compute_w_space(models: VisCoINModels, dataset_name: str,
-                    train_ds, test_ds, batch_size: int = 32,
+                    train_ds, test_ds, batch_size: int = SPACES_BATCH_SIZE,
                     cache_dir: str = "checkpoints/gan-w", mesh=None):
     """W+ over both splits, cached (reference: models/utils.py:27-106).
     Returns (N, num_ws, w_dim) arrays."""

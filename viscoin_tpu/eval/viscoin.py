@@ -252,10 +252,13 @@ def test_viscoin(
             if fid_moments is not None:
                 # Device-side masked moments (mesh / multi-host path): the
                 # padding rows are excluded by the valid mask instead of a
-                # host-side slice.
-                for stats, imgs in ((stats_fake, rebuilt), (stats_real, x)):
-                    s, o, cnt = fid_moments(fid_detector(imgs), valid)
-                    stats.append_moments(np.asarray(s), np.asarray(o), float(cnt))
+                # host-side slice. ONE transfer for both triples (same
+                # rationale as the metrics device_get above).
+                moments = jax.device_get(
+                    (fid_moments(fid_detector(rebuilt), valid),
+                     fid_moments(fid_detector(x), valid)))
+                for stats, (s, o, cnt) in zip((stats_fake, stats_real), moments):
+                    stats.append_moments(s, o, float(cnt))
             else:
                 stats_fake.append(np.asarray(fid_detector(rebuilt))[:n])
                 stats_real.append(np.asarray(fid_detector(x))[:n])

@@ -36,6 +36,16 @@ def _build_and_load():
     out = os.path.join(os.path.dirname(__file__), f"libvctransform-{digest}.so")
     try:
         if not os.path.exists(out):
+            # Sweep builds of older source revisions (incl. the legacy
+            # un-hashed name) so the directory holds exactly one binary.
+            import glob
+
+            for stale in glob.glob(os.path.join(os.path.dirname(__file__),
+                                                "libvctransform*.so")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                  src, "-o", out],

@@ -106,6 +106,11 @@ def train_classifier(classifier, variables, train_loader, test_loader,
     if loader_bs != params.batch_size:
         raise ValueError(f"train_loader.batch_size={loader_bs} != "
                          f"params.batch_size={params.batch_size}")
+    if mesh is not None and params.batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size={params.batch_size} does not divide over the mesh's "
+            f"{mesh.shape['data']}-way 'data' axis — the first device_put "
+            "would otherwise die mid-epoch with an XLA sharding error")
     # StepLR(step_size=30, gamma=0.1) on epochs → piecewise-constant on steps.
     steps_per_epoch = max(1, len(train_loader))
     schedule = optax.piecewise_constant_schedule(

@@ -537,11 +537,6 @@ def train_viscoin(
     frozen = make_frozen(models, generator_vars, lpips_params,
                          compute_dtype=cfg.compute_dtype)
     state = create_train_state(models, cfg)
-    if mesh is not None:
-        from viscoin_tpu.parallel.mesh import replicate
-
-        frozen = replicate(mesh, frozen)
-        state = replicate(mesh, state)
     # Invariants a resume must hold to replay the identical stream: the
     # sampler noise is keyed per K-group (make_sample_fakes), the loader
     # order is a function of (seed, epoch), and the step keys of (seed, i).
@@ -552,6 +547,15 @@ def train_viscoin(
     if resume_from:
         state = ckpt.restore_train_state(state, resume_from,
                                          expect_meta=resume_meta)
+    if mesh is not None:
+        # Replicate AFTER any restore: restore_pytree returns host numpy
+        # leaves, and feeding host-local arrays into a mesh jit would fall
+        # back to implicit per-leaf device_puts (on multi-host, each one a
+        # collective equality assert — see replicate()'s docstring).
+        from viscoin_tpu.parallel.mesh import replicate
+
+        frozen = replicate(mesh, frozen)
+        state = replicate(mesh, state)
 
     base_rng = jax.random.PRNGKey(seed)
     train_iter = loop_iter(train_loader)
