@@ -321,7 +321,7 @@ def test_decode_images_normalizes_float01():
 def test_export_roundtrip(engine, models, tmp_path):
     path = str(tmp_path / "artifact")
     manifest = export_serving(models, path, batch_size=4)
-    assert set(manifest["endpoints"]) == {"classify", "reconstruct"}
+    assert set(manifest["endpoints"]) == {"classify", "reconstruct", "explain"}
 
     exported = load_exported(path)
     imgs = _images(6, seed=11)  # exercises chunk + pad through the artifact
@@ -459,3 +459,120 @@ def test_engine_mesh_matches_single_device(models):
 
     with pytest.raises(ValueError, match="divide"):
         InferenceEngine(models, batch_size=6, mesh=mesh)
+
+
+def test_cli_serve_refuses_sealed_flags_with_artifact(tmp_path):
+    """--batch-size/--compute-dtype/--data-parallel are fixed by the artifact
+    manifest; passing them with --from-artifact is a UsageError, not a silent
+    mismatch."""
+    from click.testing import CliRunner
+
+    from main import main
+
+    runner = CliRunner()
+    res = runner.invoke(main.commands["serve"],
+                        ["--from-artifact", str(tmp_path), "--batch-size", "64"])
+    assert res.exit_code != 0
+    assert "--batch-size" in res.output and "from-artifact" in res.output
+    # default values of the sealed flags are fine (the artifact wins)
+    res = runner.invoke(main.commands["serve"],
+                        ["--from-artifact", str(tmp_path / "missing")])
+    assert "--batch-size" not in res.output
+
+
+# ------------------------------- explain --------------------------------- #
+
+
+def test_engine_explain_matches_offline_gradcam(engine, models):
+    """The serving explain endpoint is the online form of the
+    concept-heatmaps CLI: same taps, same GradCAM math — given the same
+    explained class (the explainer's argmax), heatmaps must agree with
+    utils.gradcam.concept_extractor_gradcams exactly."""
+    from viscoin_tpu.data.transforms import device_preprocess
+    from viscoin_tpu.utils.gradcam import concept_extractor_gradcams
+
+    imgs = _images(3, seed=21)
+    out = engine.explain(imgs)
+    assert out["preds"].shape == (3,)
+    for i in range(1, 6):
+        hm = out[f"heatmap_conv{i}"]
+        assert hm.shape[0] == 3 and hm.ndim == 3
+        assert np.isfinite(hm).all() and hm.min() >= 0.0 and hm.max() <= 1.0
+
+    x = device_preprocess(jnp.asarray(imgs))
+    ref_maps, ref_logits = concept_extractor_gradcams(
+        models, images=x, labels=jnp.asarray(out["expl_preds"]))
+    np.testing.assert_allclose(out["expl_logits"], ref_logits,
+                               rtol=1e-4, atol=1e-4)
+    for name, ref in ref_maps.items():
+        np.testing.assert_allclose(out[f"heatmap_{name}"], ref,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_engine_explain_padding_invariance(engine):
+    """Padding rows must not leak into real heatmaps (the mean-reduced CE
+    scales every sample's tap gradient uniformly, and the per-sample min-max
+    normalization cancels that scale)."""
+    imgs = _images(3, seed=22)
+    batched = engine.explain(imgs)
+    for i in range(3):
+        single = engine.explain(imgs[i])
+        np.testing.assert_allclose(batched["heatmap_conv5"][i],
+                                   single["heatmap_conv5"][0],
+                                   rtol=1e-4, atol=1e-5)
+        assert batched["expl_preds"][i] == single["expl_preds"][0]
+
+
+def test_server_explain_npz(server):
+    base, _ = server
+    buf = io.BytesIO()
+    np.savez(buf, images=_images(2, seed=23))
+    status, ctype, body = _post(base + "/v1/explain?top_k=3", buf.getvalue())
+    assert status == 200 and ctype == "application/octet-stream"
+    data = np.load(io.BytesIO(body))
+    assert set(data.files) >= {"preds", "expl_preds", "top_concepts",
+                               "top_concept_activations"} | {
+                               f"heatmap_conv{i}" for i in range(1, 6)}
+    assert data["top_concepts"].shape == (2, 3)
+    assert data["heatmap_conv1"].shape[0] == 2
+
+
+def test_export_explain_roundtrip(engine, models, tmp_path):
+    """The sealed artifact carries the explain program (a traced backward)
+    and reproduces the live engine's heatmaps."""
+    path = str(tmp_path / "artifact_explain")
+    export_serving(models, path, batch_size=2)
+    exported = load_exported(path)
+    imgs = _images(3, seed=24)  # chunk + pad through the artifact
+    ref = engine.explain(imgs)
+    out = exported.explain(imgs)
+    np.testing.assert_allclose(out["heatmap_conv5"], ref["heatmap_conv5"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(out["expl_preds"], ref["expl_preds"])
+
+
+def test_server_explain_unavailable_in_partial_artifact(models, tmp_path):
+    """An artifact exported without `explain` serves 400 on /v1/explain, not
+    a worker crash."""
+    path = str(tmp_path / "artifact_partial")
+    export_serving(models, path, batch_size=2,
+                   endpoints=("classify", "reconstruct"))
+    eng = load_exported(path)
+    vs = VisCoINServer(eng, max_delay_ms=1.0)
+    httpd = vs.make_server(port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        buf = io.BytesIO()
+        np.savez(buf, images=_images(1, seed=25))
+        try:
+            _post(base + "/v1/explain", buf.getvalue())
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "explain" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        vs.close()

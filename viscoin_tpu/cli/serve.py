@@ -28,25 +28,40 @@ from viscoin_tpu.cli.utils import device, viscoin_pickle_path
               help="Serving compute dtype (weights cast once at startup)")
 @click.option("--from-artifact", type=str, default=None,
               help="Serve a sealed export-serving artifact directory instead "
-                   "of a checkpoint (classify/reconstruct only)")
+                   "of a checkpoint (no amplify — it needs model code)")
 @click.option("--data-parallel/--no-data-parallel", default=False,
               help="Shard each device batch over all local devices "
                    "(1-D data mesh; batch-size must divide by device count)")
-def serve(device, viscoin_pickle_path, host, port, batch_size, max_delay_ms,
-          compute_dtype, from_artifact, data_parallel):
+@click.pass_context
+def serve(ctx, device, viscoin_pickle_path, host, port, batch_size,
+          max_delay_ms, compute_dtype, from_artifact, data_parallel):
     """Serve a trained VisCoIN ensemble over HTTP.
 
     Endpoints: /healthz, /v1/stats, POST /v1/classify, /v1/reconstruct,
-    /v1/amplify (npz / JSON / raw-image bodies).
+    /v1/amplify, /v1/explain (npz / JSON / raw-image bodies).
     """
     from viscoin_tpu.serve.server import run_server
 
     if from_artifact is not None:
+        # An artifact is SEALED: its batch size, dtype, and device layout were
+        # fixed at export time. Refuse explicitly-passed knobs instead of
+        # silently serving with different values than the operator asked for.
+        from click.core import ParameterSource
+
+        sealed = [name for name in ("batch_size", "compute_dtype", "data_parallel")
+                  if ctx.get_parameter_source(name) is not ParameterSource.DEFAULT]
+        if sealed:
+            flags = ", ".join("--" + n.replace("_", "-") for n in sealed)
+            raise click.UsageError(
+                f"{flags} cannot be combined with --from-artifact: the "
+                "artifact's manifest fixes them at export time (re-export "
+                "with the desired values)")
+
         from viscoin_tpu.serve.export import load_exported
 
         engine = load_exported(from_artifact)
-        # The exported engine lacks amplify; the server handles the shared
-        # classify/reconstruct surface through the same padded-batch calls.
+        # The exported engine lacks amplify (it needs model code); the
+        # classify/reconstruct/explain surface rides the same padded calls.
     else:
         from viscoin_tpu.serve.engine import InferenceEngine
         from viscoin_tpu.utils.checkpoints import load_viscoin_bundle

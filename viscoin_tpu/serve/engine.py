@@ -97,6 +97,58 @@ def build_endpoint_fns(models: VisCoINModels, compute_dtype: str = "float32"):
             "concepts": max_pool_concepts(phi).astype(jnp.float32),
         }
 
+    def explain(variables, images_u8):
+        """u8 batch -> GradCAM heatmaps for Psi's conv1..conv5 w.r.t. the
+        explainer cross-entropy at the explainer's own prediction, plus the
+        predictions and pooled concept activations.
+
+        The online analogue of the `concept-heatmaps` CLI (reference:
+        cli/concept_heatmaps.py:33-66) — serving has no ground-truth labels,
+        so the explained class is argmax(explainer logits) instead of the
+        dataset label (the standard "explain the model's decision" form).
+        One device program: classifier forward + Psi forward with
+        ``nn.perturb`` taps + one backward w.r.t. the taps (the functional
+        equivalent of the reference's hooks — utils/gradcam.py)."""
+        from viscoin_tpu.train.losses import softmax_cross_entropy
+        from viscoin_tpu.utils.gradcam import gradcam_heatmap_device
+
+        x = device_preprocess(images_u8).astype(dt)
+        logits, hidden = models.classifier.apply(variables["classifier"], x,
+                                                 train=False)
+        latents = tuple(hidden[-3:])
+        psi = models.concept_extractor
+        _, pert0 = psi.apply({"params": variables["psi"]}, latents,
+                             mutable="perturbations")
+        eps0 = pert0["perturbations"]
+        convs = tuple(f"conv{i}" for i in range(1, 6))
+
+        def loss_fn(eps):
+            (phi, _), taps = psi.apply(
+                {"params": variables["psi"], "perturbations": eps}, latents,
+                capture_intermediates=lambda mdl, _: mdl.name in convs,
+                mutable=["intermediates"],
+            )
+            expl_logits = models.explainer.apply(
+                {"params": variables["theta"]}, phi).astype(jnp.float32)
+            labels = jnp.argmax(expl_logits, axis=-1)
+            acts = {name: taps["intermediates"][name]["__call__"][0]
+                    for name in convs}
+            loss = softmax_cross_entropy(expl_logits, labels)
+            return loss, (acts, expl_logits, phi)
+
+        grads, (acts, expl_logits, phi) = jax.grad(loss_fn, has_aux=True)(eps0)
+        out = {
+            "logits": logits.astype(jnp.float32),
+            "expl_logits": expl_logits,
+            "preds": jnp.argmax(logits, axis=-1),
+            "expl_preds": jnp.argmax(expl_logits, axis=-1),
+            "concepts": max_pool_concepts(phi).astype(jnp.float32),
+        }
+        for i, name in enumerate(convs, start=1):
+            out[f"heatmap_{name}"] = gradcam_heatmap_device(
+                acts[name], grads[f"tap{i}"]).astype(jnp.float32)
+        return out
+
     def reconstruct(variables, images_u8):
         """u8 batch -> u8 reconstructions (G(Psi(f(x)))) + both predictions."""
         x = device_preprocess(images_u8).astype(dt)
@@ -114,7 +166,8 @@ def build_endpoint_fns(models: VisCoINModels, compute_dtype: str = "float32"):
             "expl_preds": jnp.argmax(expl_logits, axis=-1),
         }
 
-    return {"classify": classify, "reconstruct": reconstruct}
+    return {"classify": classify, "reconstruct": reconstruct,
+            "explain": explain}
 
 
 class InferenceEngine:
@@ -168,6 +221,7 @@ class InferenceEngine:
             self.variables = replicate(mesh, self.variables)
         self._classify = jax.jit(fns["classify"], **jit_kwargs)
         self._reconstruct = jax.jit(fns["reconstruct"], **jit_kwargs)
+        self._explain = jax.jit(fns["explain"], **jit_kwargs)
         self._amplify_fns = None
 
     # ------------------------------ helpers ------------------------------ #
@@ -183,6 +237,10 @@ class InferenceEngine:
 
     def reconstruct(self, images_u8: np.ndarray) -> dict:
         return run_padded(lambda c: self._reconstruct(self.variables, c),
+                          images_u8, self.batch_size)
+
+    def explain(self, images_u8: np.ndarray) -> dict:
+        return run_padded(lambda c: self._explain(self.variables, c),
                           images_u8, self.batch_size)
 
     def amplify(self, image_u8: np.ndarray, selection: Selection,
@@ -201,6 +259,7 @@ class InferenceEngine:
         """Compile every fixed-shape endpoint (one dummy batch each)."""
         dummy = np.zeros((self.batch_size, self.resolution, self.resolution, 3),
                          np.uint8)
-        for out in (self.classify(dummy), self.reconstruct(dummy)):
+        for out in (self.classify(dummy), self.reconstruct(dummy),
+                    self.explain(dummy)):
             jax.block_until_ready(list(out.values()))
         return self

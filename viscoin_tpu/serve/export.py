@@ -57,7 +57,7 @@ def export_serving(
     path: str,
     batch_size: int = 8,
     compute_dtype: str = "float32",
-    endpoints: tuple[str, ...] = ("classify", "reconstruct"),
+    endpoints: tuple[str, ...] = ("classify", "reconstruct", "explain"),
     platforms: tuple[str, ...] | None = None,
 ) -> dict:
     """Export serving endpoints as sealed artifacts.
@@ -142,6 +142,9 @@ class ExportedEngine:
 
     def reconstruct(self, images_u8: np.ndarray) -> dict:
         return self._call_endpoint("reconstruct", images_u8)
+
+    def explain(self, images_u8: np.ndarray) -> dict:
+        return self._call_endpoint("explain", images_u8)
 
     def prepare_image(self, img_u8: np.ndarray) -> np.ndarray:
         return prepare_image(img_u8, self.resolution)

@@ -10,6 +10,10 @@ Endpoints (JSON in -> JSON out unless noted):
                                expl_preds}
   * ``POST /v1/amplify``       one image -> npz {amplified_u8, probas_best,
                                probas_rand, default_probas, multipliers}
+  * ``POST /v1/explain``       images -> npz {heatmap_conv1..5 (B,h,w)
+                               GradCAM maps of Psi's convs at the explainer's
+                               predicted class, preds, expl_preds,
+                               top_concepts, top_concept_activations}
 
 Request bodies: ``.npz`` bytes with an ``images`` array ((H,W,3) or
 (N,H,W,3) uint8), a raw PNG/JPEG (content-type ``image/*``), or JSON
@@ -100,7 +104,7 @@ class VisCoINServer:
         self._batchers = {
             name: MicroBatcher(self._make_runner(name), engine.batch_size,
                                max_delay_ms)
-            for name in ("classify", "reconstruct")
+            for name in ("classify", "reconstruct", "explain")
         }
 
     def _make_runner(self, name: str):
@@ -153,6 +157,22 @@ class VisCoINServer:
         return "application/octet-stream", _npz_bytes(
             reconstruction_u8=out["reconstruction_u8"],
             preds=out["preds"], expl_preds=out["expl_preds"])
+
+    def handle_explain(self, images: np.ndarray, params: dict) -> tuple[str, bytes]:
+        try:
+            out = self._gather("explain", images)
+        except KeyError as e:  # sealed artifact exported without `explain`
+            raise RequestError(str(e))
+        k = min(int(params.get("top_k", self.top_k)),
+                out["concepts"].shape[-1])
+        order_c = np.argsort(out["concepts"], axis=-1)[:, ::-1][:, :k]
+        heatmaps = {key: out[key] for key in out if key.startswith("heatmap_")}
+        return "application/octet-stream", _npz_bytes(
+            preds=out["preds"], expl_preds=out["expl_preds"],
+            top_concepts=order_c,
+            top_concept_activations=np.take_along_axis(
+                out["concepts"], order_c, -1),
+            **heatmaps)
 
     def handle_amplify(self, images: np.ndarray, params: dict) -> tuple[str, bytes]:
         if not hasattr(self.engine, "amplify"):
@@ -232,6 +252,7 @@ class VisCoINServer:
                     "/v1/classify": outer.handle_classify,
                     "/v1/reconstruct": outer.handle_reconstruct,
                     "/v1/amplify": outer.handle_amplify,
+                    "/v1/explain": outer.handle_explain,
                 }.get(url.path)
                 if route is None:
                     self._send_json(404, {"error": f"no route {url.path}"})

@@ -20,16 +20,22 @@ import jax
 import jax.numpy as jnp
 
 
-def gradcam_heatmap(activation: jax.Array, gradient: jax.Array) -> np.ndarray:
+def gradcam_heatmap_device(activation: jax.Array, gradient: jax.Array) -> jax.Array:
     """(B, H, W, C) activation + same-shape dL/dA → (B, H, W) heatmaps
-    (reference math: gradcam.py:26-46)."""
+    (reference math: gradcam.py:26-46). Pure jnp — jittable, used by both
+    the offline CLI path below and the serving ``explain`` endpoint."""
     weights = jnp.mean(gradient, axis=(1, 2))  # (B, C)
     maps = jnp.sum(activation * weights[:, None, None, :], axis=-1)  # (B, H, W)
     maps = jnp.maximum(maps, 0.0)
     mn = jnp.min(maps, axis=(1, 2), keepdims=True)
     mx = jnp.max(maps, axis=(1, 2), keepdims=True)
     denom = jnp.where(mx - mn == 0, 1.0, mx - mn)
-    return np.asarray((maps - mn) / denom)
+    return (maps - mn) / denom
+
+
+def gradcam_heatmap(activation: jax.Array, gradient: jax.Array) -> np.ndarray:
+    """Host-side convenience wrapper of :func:`gradcam_heatmap_device`."""
+    return np.asarray(gradcam_heatmap_device(activation, gradient))
 
 
 # ConceptExtractor's perturb tap name → reported conv layer name.
