@@ -247,6 +247,44 @@ def test_gan_resume_deterministic(rng, tmp_path):
                                 expect_meta={"batch_size": 8})
 
 
+def test_gan_step_bf16_mixed_precision(rng):
+    """compute_dtype='bfloat16': the full objective (ADA + lazy R1/PPL live)
+    runs with finite fp32 loss metrics, Adam masters/EMA/w_avg stay fp32,
+    and the step is deterministic in its inputs (two identical runs agree
+    exactly — the mixed-precision cast is inside the jitted step)."""
+    generator, discriminator = _tiny_gan()
+    cfg = GANTrainingParams(batch_size=4, r1_interval=1, ppl_interval=1,
+                            augment="ada", augment_p=0.5,
+                            compute_dtype="bfloat16")
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+    step = make_gan_train_step(generator, discriminator, cfg)
+
+    def run():
+        state, g_extras = create_gan_train_state(generator, discriminator,
+                                                 jax.random.PRNGKey(0), cfg, IMG)
+        ms = []
+        for i in range(2):
+            state, m = step(state, g_extras, images, jax.random.PRNGKey(30 + i))
+            ms.append(m)
+        return state, ms
+
+    state, ms = run()
+    for m in ms:
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (k, m)
+            assert np.asarray(v).dtype == np.float32, k  # fp32 reductions
+    assert float(ms[0]["r1"]) > 0 and float(ms[0]["pl_lengths"]) > 0
+    for leaf in jax.tree_util.tree_leaves(
+            (state.g_params, state.d_params, state.g_ema_params)):
+        assert np.asarray(leaf).dtype == np.float32  # fp32 masters
+    assert np.asarray(state.w_avg).dtype == np.float32
+
+    state2, _ = run()
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(state2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lazy_reg_optimizer_adjustment():
     """Upstream mb_ratio semantics: lr and betas adjusted by N/(N+1) for a
     regularizer on an every-N cadence (stylegan2-ada train.py)."""

@@ -54,6 +54,12 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "2-D (data, model) mesh that spatially shards the images' "
                    "H axis through the train step (GSPMD halo exchanges) — "
                    "for scaling past the per-chip batch minimum")
+@click.option("--compute-dtype", type=click.Choice(["bfloat16", "float32"]),
+              default="bfloat16", show_default=True,
+              help="[viscoin/gan] Training compute precision: parameters and "
+                   "images cast at the loss boundary, fp32 Adam masters and "
+                   "loss reductions (the TPU-first default; float32 restores "
+                   "the reference's full-precision numerics)")
 @click.option("--debug-nans", is_flag=True,
               help="Fail fast on NaNs in any jitted computation")
 @click.option("--resume", "resume_from", type=click.Path(exists=True), default=None,
@@ -76,8 +82,8 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "Default: checkpoints/inception if present")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel, model_parallel, debug_nans, resume_from, profile_dir,
-          channel_base, channel_max, fid_detector_path):
+          data_parallel, model_parallel, compute_dtype, debug_nans, resume_from,
+          profile_dir, channel_base, channel_max, fid_detector_path):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -94,11 +100,13 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
                            profile_dir, fid_detector_path,
-                           model_parallel=model_parallel)
+                           model_parallel=model_parallel,
+                           compute_dtype=compute_dtype)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
-                       resume_from=resume_from, model_parallel=model_parallel)
+                       resume_from=resume_from, model_parallel=model_parallel,
+                       compute_dtype=compute_dtype)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -212,7 +220,7 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
 def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                data_parallel, output_weights, channel_base=16384,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
-               seed=0, model_parallel=1):
+               seed=0, model_parallel=1, compute_dtype="bfloat16"):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -241,7 +249,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     # None-valued CLI flags fall through to the dataclass defaults
     # (IgnoreNone), like every other train subcommand.
     cfg = GANTrainingParams(iterations=epochs, learning_rate=learning_rate,
-                            batch_size=batch_size)
+                            batch_size=batch_size, compute_dtype=compute_dtype)
     world = jax.process_count()
     if world > 1:
         # Multi-host: each process loads its shard of every global batch
@@ -280,7 +288,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     state_path = f"{output_weights}.train_state"
     resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
-                   "augment": cfg.augment}
+                   "augment": cfg.augment, "compute_dtype": cfg.compute_dtype}
     if resume_from:
         state = ckpt.restore_gan_train_state(state, resume_from,
                                              expect_meta=resume_meta)
@@ -364,7 +372,8 @@ def _load_fid_detector(path: str):
 
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
-                   profile_dir=None, fid_detector_path=None, model_parallel=1):
+                   profile_dir=None, fid_detector_path=None, model_parallel=1,
+                   compute_dtype="bfloat16"):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
@@ -379,6 +388,7 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     params = VisCoINTrainingParams(
         learning_rate=learning_rate, iterations=epochs, batch_size=batch_size,
         gradient_accumulation=gradient_accumulation_steps,
+        compute_dtype=compute_dtype,
     )
     configure_score_logging(f"viscoin_{params.iterations}.jsonl")
     train_loader, test_loader = get_dataloaders(dataset, params.batch_size)

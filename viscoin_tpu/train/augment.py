@@ -9,16 +9,29 @@ batches toward ``ada_target`` using r_t = E[sign(D(real))]).
 
 TPU-first redesign — everything is ONE jitted device function, no host RNG:
 
-  * pixel blits (x-flip, 90° rotations, integer translation) as pure
-    ``jnp.where``/``roll`` selects — exact, fusable, differentiable;
-  * general geometric transforms (isotropic/anisotropic scaling, rotation,
-    fractional translation) composed into ONE per-image inverse affine
-    matrix and applied with a single bilinear resampling pass
-    (``jax.scipy.ndimage.map_coordinates`` under vmap). The upstream pipe
-    wraps its warp in orthonormal-wavelet padding to suppress resampling
-    aliasing; this port uses plain bilinear sampling (documented
-    divergence — ADA is a regularizer, and the adaptive controller absorbs
-    the difference in effective augmentation strength);
+  * EVERY spatial transform — x-flip, 90° rotations, integer translation,
+    isotropic/anisotropic scaling, rotation, fractional translation — is
+    composed into ONE per-image inverse affine matrix, exactly like the
+    upstream pipe composes its G matrix (upstream augment.py builds G_inv
+    from all blits + geometric transforms and runs one warp);
+  * the warp executes as a TWO-PASS bilinear resample where each pass is a
+    batched one-hot-matrix product (``einsum`` over dense per-line
+    interpolation matrices built from iota arithmetic). No gather, no
+    scatter: per-element gathers run at ~memcpy/50 on TPU and their VJP
+    scatters are worse (measured 42 ms PER CORNER at batch 16·256² — the
+    gather-based warp cost ~300 ms of a 434 ms GAN step; the matmul form
+    runs the same work on the MXU and its adjoint is the transposed
+    matmul). Integer maps (blits) sample exactly (hat weights ∈ {0,1});
+    the exact multiple-of-90° part of each map is factored out into a final
+    rot90 select so the residual two-pass shear stays ≲1 px. The two-pass
+    decomposition is the classic Catmull–Smith approximation: for maps with
+    a rotation component it differs from one-pass bilinear by a sub-pixel
+    anisotropic smear (exact whenever the residual ``a10 == 0``, i.e. all
+    axis-aligned transforms). The upstream warp wraps itself in
+    orthonormal-wavelet padding for anti-aliasing; this port's plain
+    bilinear kernel was already a documented divergence — ADA is a
+    regularizer, and the adaptive controller absorbs differences in
+    effective augmentation strength;
   * color transforms (brightness, contrast, luma flip, hue rotation,
     saturation) composed into ONE per-image 4x4 homogeneous color matrix
     applied as a single einsum.
@@ -44,6 +57,58 @@ def _rotation2d(theta):
     return jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
 
 
+def _hat(u):
+    """Bilinear interpolation kernel max(0, 1 - |u|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+
+def twopass_warp(images: jax.Array, A: jax.Array, v: jax.Array) -> jax.Array:
+    """Affine bilinear warp as two batched one-hot-matrix products.
+
+    Samples ``src = A @ (p - c) + c + v`` per output pixel ``p`` (coords in
+    (x, y) order, ``c`` the image center), zero outside the image — the
+    semantics of ``map_coordinates(order=1, mode="constant")`` — but with
+    both interpolation passes expressed as dense matrix products so the TPU
+    runs them (and their VJP) on the MXU instead of per-element
+    gather/scatter loops.
+
+    Pass 1 resamples along y at the original columns with
+    ``sy'(x, Y) = (a10/a00)(x - cx - vx) + (det/a00)(Y - cy) + cy + vy``
+    (the y source along the sheared line x = sx(X, Y)); pass 2 resamples
+    along x with the exact ``sx(X, Y)``. Exact whenever ``a10 == 0``
+    (axis-aligned maps, incl. every integer blit); for rotation components
+    it is the Catmull–Smith two-pass approximation (sub-pixel smear,
+    bounded by |a10/a00| ≤ ~1 when callers factor out the 90° part).
+
+    Args:
+        images: (B, H, W, C).
+        A: (B, 2, 2) inverse maps (rows/cols in (x, y) order).
+        v: (B, 2) translations in pixels, (x, y) order.
+    """
+    B, H, W, C = images.shape
+    f32 = jnp.float32
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    a00, a01 = A[:, 0, 0, None, None], A[:, 0, 1, None, None]
+    a10, a11 = A[:, 1, 0, None, None], A[:, 1, 1, None, None]
+    vx, vy = v[:, 0, None, None], v[:, 1, None, None]
+    det = a00 * a11 - a01 * a10
+    xs = jnp.arange(W, dtype=f32)
+    ys = jnp.arange(H, dtype=f32)
+
+    # Pass 1: (B, x, Y) source-y positions -> S1 (B, x, Y, y).
+    r = a10 / a00
+    syp = (r * (xs[None, :, None] - cx - vx)
+           + (det / a00) * (ys[None, None, :] - cy) + cy + vy)
+    S1 = _hat(ys[None, None, None, :] - syp[..., None]).astype(images.dtype)
+    tmp = jnp.einsum("bxYy,byxc->bYxc", S1, images)
+
+    # Pass 2: (B, Y, X) exact source-x positions -> S2 (B, Y, X, x).
+    sx = (a00 * (xs[None, None, :] - cx)
+          + a01 * (ys[None, :, None] - cy) + cx + vx)
+    S2 = _hat(xs[None, None, None, :] - sx[..., None]).astype(images.dtype)
+    return jnp.einsum("bYXx,bYxc->bYXc", S2, tmp)
+
+
 def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     """Apply the ADA 'bgc' augmentation pipe to a batch.
 
@@ -57,46 +122,25 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     keys = jax.random.split(key, 16)
     x = images
 
-    # ---- pixel blits -------------------------------------------------------
-    # x-flip
+    # ---- spatial transforms: ONE composed inverse affine per image ---------
+    # Draws (upstream 'bgc' probabilities/ranges), each independent per image.
+    # x-flip (prob p·0.5 where triggered)
     do = jax.random.uniform(keys[0], (B,)) < p
     flip = jnp.logical_and(do, jax.random.uniform(keys[1], (B,)) < 0.5)
-    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-
     # 90° rotations: k ∈ {0,1,2,3} uniformly where triggered
     do = jax.random.uniform(keys[2], (B,)) < p
-    k = jnp.where(do, jax.random.randint(keys[3], (B,), 0, 4), 0)
-    rots = jnp.stack([x,
-                      jnp.rot90(x, 1, axes=(1, 2)),
-                      jnp.rot90(x, 2, axes=(1, 2)),
-                      jnp.rot90(x, 3, axes=(1, 2))], axis=0)
-    x = jnp.take_along_axis(rots, k[None, :, None, None, None], axis=0)[0]
-
-    # integer translation within ±0.125 of the size (upstream xint_max)
+    k_blit = jnp.where(do, jax.random.randint(keys[3], (B,), 0, 4), 0)
+    # integer translation within ±0.125 of the size (upstream xint_max);
+    # zero-fill comes from the warp's padding (a roll would wrap
+    # opposite-edge pixels into view — a seam artifact real/generated images
+    # never contain, which the discriminator could key on).
     do = jax.random.uniform(keys[4], (B,)) < p
     max_t = 0.125
     tx = jnp.round(jax.random.uniform(keys[5], (B,), minval=-max_t,
-                                      maxval=max_t) * W).astype(jnp.int32)
+                                      maxval=max_t) * W)
     ty = jnp.round(jax.random.uniform(keys[6], (B,), minval=-max_t,
-                                      maxval=max_t) * H).astype(jnp.int32)
-    tx = jnp.where(do, tx, 0)
-    ty = jnp.where(do, ty, 0)
-
-    def shift_img(img, sy, sx):
-        # zero-fill translation (upstream xint zero-pads via the warp's
-        # padding; a plain roll would wrap opposite-edge pixels into view —
-        # a seam artifact real/generated images never contain, which the
-        # discriminator could key on, leaking the augmentation into D).
-        rolled = jnp.roll(img, (sy, sx), axis=(0, 1))
-        rows = jnp.arange(H)[:, None, None]
-        cols = jnp.arange(W)[None, :, None]
-        inb = ((rows - sy >= 0) & (rows - sy < H)
-               & (cols - sx >= 0) & (cols - sx < W))
-        return rolled * inb
-
-    x = jax.vmap(shift_img)(x, ty, tx)
-
-    # ---- general geometric: ONE composed inverse affine + bilinear warp ----
+                                      maxval=max_t) * H)
+    t_int = jnp.stack([jnp.where(do, tx, 0.0), jnp.where(do, ty, 0.0)], -1)
     # isotropic scale (lognormal, std 0.2·log2)
     do = jax.random.uniform(keys[7], (B,)) < p
     s_iso = jnp.exp2(jax.random.normal(keys[8], (B,)) * 0.2)
@@ -114,54 +158,56 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     frac = jax.random.normal(keys[14], (B, 2)) * 0.125
     frac = jnp.where(do[:, None], frac, 0.0)
 
-    # forward transform G = T(frac) · R(θ) · S_aniso · S_iso about the image
-    # center; sample source coords with the INVERSE per output pixel.
-    rot = _rotation2d(theta)  # (B, 2, 2)
+    # Compose the INVERSE source map src = A·(p - c) + c + v in centered
+    # (x, y) pixel coordinates, stage by stage (image flows
+    # flip → rot90 → xint → geometric, so the inverse maps compose
+    # geometric⁻¹ then xint⁻¹ then rot90⁻¹ then flip⁻¹). Pure 2x2/2-vector
+    # arithmetic per image — the exact-blit stages stay exact because their
+    # matrices are exact signed permutations and bilinear hat weights at
+    # integer sources are exactly {0, 1}.
+    rot = _rotation2d(theta)  # (B, 2, 2) forward R(θ)
     scale = (jnp.stack([s_aniso, jnp.ones_like(s_aniso)], -1)
              * s_iso[:, None])  # (B, 2) diag [sx, sy]
     fwd = rot * scale[:, None, :]  # R @ diag(scale): scales columns
-    inv = jnp.linalg.inv(fwd)  # (B, 2, 2)
-    t_pix = frac * jnp.asarray([W, H], jnp.float32)  # (B, 2) in pixels (x, y)
+    A = jnp.linalg.inv(fwd)  # geometric⁻¹
+    t_pix = frac * jnp.asarray([W, H], jnp.float32)  # (B, 2) pixels (x, y)
+    v = -jnp.einsum("bij,bj->bi", A, t_pix)
+    v = v - t_int  # xint⁻¹
+    # rot90⁻¹: source map of jnp.rot90(·, k, axes=(1,2)) is q ↦ R90ᵏ·q with
+    # R90 = [[0,-1],[1,0]] (centered coords; exact for square images).
+    r90 = jnp.asarray([[0.0, -1.0], [1.0, 0.0]])
+    r90_pows = jnp.stack([jnp.eye(2), r90, r90 @ r90, r90 @ r90 @ r90])
+    rb = r90_pows[k_blit]  # (B, 2, 2) — R90^k = (rot90 by k)⁻¹ source map
+    A = jnp.einsum("bij,bjk->bik", rb, A)
+    v = jnp.einsum("bij,bj->bi", rb, v)
+    # flip⁻¹ (self-inverse): diag(±1, 1)
+    fsign = jnp.where(flip, -1.0, 1.0)
+    A = A * jnp.stack([fsign, jnp.ones_like(fsign)], -1)[:, :, None]
+    v = v * jnp.stack([fsign, jnp.ones_like(fsign)], -1)
 
-    identity_geom = (jnp.abs(theta) < 1e-12) & (jnp.abs(s_iso - 1) < 1e-12) \
-        & (jnp.abs(s_aniso - 1) < 1e-12) & (jnp.abs(t_pix).sum(-1) < 1e-12)
+    # Factor the exact multiple-of-90° part out of A so the two-pass warp's
+    # shear |a10/a0| stays ≲1: between A and A·R90⁻¹ (whose (a00, a10) column
+    # is (-a01, -a11)), pick the one with the smaller |a10/a00|, and undo
+    # with an exact rot90 blit on the OUTPUT.
+    ratio0 = jnp.abs(A[:, 1, 0]) / (jnp.abs(A[:, 0, 0]) + 1e-12)
+    ratio1 = jnp.abs(A[:, 1, 1]) / (jnp.abs(A[:, 0, 1]) + 1e-12)
+    # The compensating output rot90 needs square images (always true for the
+    # GAN pipe); non-square falls back to the direct two-pass.
+    use_k1 = (ratio1 < ratio0) if H == W else jnp.zeros((B,), bool)
+    r90_inv = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]])
+    A = jnp.where(use_k1[:, None, None],
+                  jnp.einsum("bij,jk->bik", A, r90_inv), A)
 
-    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
-                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    # Skip-select: images whose composed map is the exact identity (no
+    # spatial transform triggered) pass through bitwise untouched.
+    skip = ((jnp.abs(A - jnp.eye(2)).max(axis=(1, 2)) < 1e-9)
+            & (jnp.abs(v).max(axis=1) < 1e-9) & ~use_k1)
 
-    def warp(img, inv_m, t, skip):
-        # output pixel (x, y) pulls from inv_m @ ((x, y) - t - c) + c.
-        # Bilinear sampling as ONE all-channel gather per corner (4 total)
-        # with per-corner zero-padding masks — identical semantics to
-        # map_coordinates(order=1, mode="constant") but without the
-        # per-channel gather loop (3x fewer gathers; gathers dominate the
-        # augment cost on TPU).
-        dx = xx - cx - t[0]
-        dy = yy - cy - t[1]
-        sx = inv_m[0, 0] * dx + inv_m[0, 1] * dy + cx
-        sy = inv_m[1, 0] * dx + inv_m[1, 1] * dy + cy
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        wx = (sx - x0)[..., None]
-        wy = (sy - y0)[..., None]
-
-        def corner(yi, xi):
-            inb = ((yi >= 0) & (yi <= H - 1) & (xi >= 0)
-                   & (xi <= W - 1))[..., None]
-            yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-            xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-            return img[yc, xc] * inb  # (H, W, C) advanced-index gather
-
-        p00 = corner(y0, x0)
-        p01 = corner(y0, x0 + 1)
-        p10 = corner(y0 + 1, x0)
-        p11 = corner(y0 + 1, x0 + 1)
-        warped = ((1 - wy) * ((1 - wx) * p00 + wx * p01)
-                  + wy * ((1 - wx) * p10 + wx * p11)).astype(img.dtype)
-        return jnp.where(skip, img, warped)
-
-    x = jax.vmap(warp)(x, inv, t_pix, identity_geom)
+    warped = twopass_warp(x, A, v)
+    if H == W:
+        warped = jnp.where(use_k1[:, None, None, None],
+                           jnp.rot90(warped, 1, axes=(1, 2)), warped)
+    x = jnp.where(skip[:, None, None, None], x, warped)
 
     # ---- color: ONE composed 4x4 homogeneous matrix ------------------------
     eye = jnp.eye(4)
@@ -213,7 +259,10 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
 
     ones = jnp.ones((B, H, W, 1), x.dtype)
     xh = jnp.concatenate([x, ones], axis=-1)  # (B, H, W, 4)
-    x = jnp.einsum("bhwj,bij->bhwi", xh, mats)[..., :3]
+    # Matrices compose in fp32; the per-pixel application runs in the image
+    # dtype (bf16 under mixed precision — an fp32 promotion here would upcast
+    # the whole batch and feed the discriminator fp32).
+    x = jnp.einsum("bhwj,bij->bhwi", xh, mats.astype(x.dtype))[..., :3]
     return x
 
 

@@ -68,6 +68,15 @@ class GANTrainingParams(IgnoreNone):
     ada_interval: int = 4  # adjust p every N steps
     ada_kimg: float = 500.0  # p moves by (batch·interval)/(kimg·1000) per adjust
 
+    # Mixed precision (the TPU analogue of upstream ADA's num_fp16_res=4
+    # default): params/images cast to ``compute_dtype`` at the loss boundary,
+    # fp32 Adam masters/EMA/w_avg/pl_mean, and every loss/penalty reduction
+    # (softplus means, R1 square-sum, PPL norms, r_t) computed in fp32.
+    # bf16 shares fp32's exponent range, so upstream's per-resolution fp16
+    # split and conv_clamp overflow guards are unnecessary — the whole
+    # network runs in bf16. "float32" restores exact full precision.
+    compute_dtype: str = "float32"
+
 
 class GANTrainState(struct.PyTreeNode):
     step: jax.Array
@@ -158,6 +167,18 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
 
     from viscoin_tpu.parallel.mesh import image_spec
 
+    dt = jnp.dtype(cfg.compute_dtype)
+    f32 = jnp.float32
+
+    def cast(tree):
+        """fp32 leaves -> compute dtype (identity at float32, so the full-
+        precision path is bit-identical to the pre-mixed-precision step)."""
+        if dt == f32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == f32 else x, tree)
+
     spatial_sh = (NamedSharding(mesh, image_spec(mesh))
                   if mesh is not None and "model" in mesh.axis_names else None)
     # num_ws is a pure function of the (static) resolution. Submodules (and
@@ -196,6 +217,7 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
 
     def g_loss_fn(g_params, g_extras, d_params, z, z_mix, cutoff, k_noise,
                   aug_p, k_aug):
+        g_params, d_params = cast(g_params), cast(d_params)
         ws = map_ws(g_params, g_extras, z)
         # Style mixing: layers >= cutoff take styles from a second latent
         # (scalar cutoff per step; cutoff == num_ws means no mixing).
@@ -203,9 +225,10 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         layer = jnp.arange(ws.shape[1])[None, :, None]
         ws_used = jnp.where(layer >= cutoff, ws_mix, ws)
         fake = synth(g_params, g_extras, ws_used, k_noise)
-        logits = run_d(d_params, fake, aug_p, k_aug)
+        logits = run_d(d_params, fake, aug_p, k_aug).astype(f32)
         # non-saturating G loss; aux: batch-mean mapping output for w_avg
-        return jnp.mean(jax.nn.softplus(-logits)), jnp.mean(ws[:, 0], axis=0)
+        return (jnp.mean(jax.nn.softplus(-logits)),
+                jnp.mean(ws[:, 0].astype(f32), axis=0))
 
     def ppl_penalty(g_params, g_extras, z, k_noise, k_pl, pl_mean):
         """Path-length regularization: ((||d(img·y)/d ws|| - pl_mean)^2).
@@ -213,16 +236,18 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         NVlabs semantics: the EMA target ``new_pl_mean`` is NOT detached in
         the penalty (loss.py lerps the buffer with the live batch mean), so
         the gradient keeps the -2·pl_decay/B cross term."""
+        g_params = cast(g_params)
         ws = map_ws(g_params, g_extras, z)
 
         def proj(ws):
             img = synth(g_params, g_extras, ws, k_noise)
             h, w = img.shape[1], img.shape[2]
-            y = jax.random.normal(k_pl, img.shape) / jnp.sqrt(float(h * w))
-            return jnp.sum(img * y)
+            y = jax.random.normal(k_pl, img.shape, f32) / jnp.sqrt(float(h * w))
+            return jnp.sum(img.astype(f32) * y)
 
         pl_grads = jax.grad(proj)(ws)  # (B, num_ws, w_dim)
-        pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+        pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(
+            jnp.square(pl_grads.astype(f32)), axis=2), axis=1))
         new_pl_mean = pl_mean + cfg.ppl_decay * (jnp.mean(pl_lengths) - pl_mean)
         penalty = jnp.mean(jnp.square(pl_lengths - new_pl_mean))
         scaled = penalty * cfg.ppl_weight * cfg.ppl_interval
@@ -230,10 +255,11 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
 
     def d_loss_fn(d_params, g_params, g_extras, real, z, k_noise, do_r1,
                   aug_p, k_aug_f, k_aug_r):
+        d_params, g_params = cast(d_params), cast(g_params)
         ws = map_ws(g_params, g_extras, z)
         fake = synth(g_params, g_extras, ws, k_noise)
-        fake_logits = run_d(d_params, fake, aug_p, k_aug_f)
-        real_logits = run_d(d_params, real, aug_p, k_aug_r)
+        fake_logits = run_d(d_params, fake, aug_p, k_aug_f).astype(f32)
+        real_logits = run_d(d_params, real, aug_p, k_aug_r).astype(f32)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
             jax.nn.softplus(-real_logits))
 
@@ -242,10 +268,11 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         # upstream Dr1 branch runs the penalty through run_D's pipe.
         def r1_term(real):
             def d_sum(x):
-                return jnp.sum(run_d(d_params, x, aug_p, k_aug_r))
+                return jnp.sum(run_d(d_params, x, aug_p, k_aug_r).astype(f32))
 
             grad_real = jax.grad(d_sum)(real)
-            return jnp.mean(jnp.sum(jnp.square(grad_real), axis=(1, 2, 3)))
+            return jnp.mean(jnp.sum(jnp.square(grad_real.astype(f32)),
+                                    axis=(1, 2, 3)))
 
         r1 = jax.lax.cond(do_r1, r1_term, lambda real: jnp.zeros(()), real)
         loss = loss + (cfg.r1_gamma / 2) * r1 * cfg.r1_interval
@@ -262,17 +289,20 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
             x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
         else:
             x = images_u8
+        if x.dtype != dt:
+            x = x.astype(dt)
+        g_extras_c = cast(g_extras)
         B = x.shape[0]
         aug_p = (state.ada_p if cfg.augment == "ada"
                  else jnp.asarray(cfg.augment_p, jnp.float32))
 
         # G main step (with style mixing).
-        z = jax.random.normal(kz1, (B, generator.z_dim))
-        z_mix = jax.random.normal(kz1m, (B, generator.z_dim))
+        z = jax.random.normal(kz1, (B, generator.z_dim), dt)
+        z_mix = jax.random.normal(kz1m, (B, generator.z_dim), dt)
         mix = jax.random.bernoulli(kmix, cfg.style_mixing_prob)
         cutoff = jnp.where(mix, jax.random.randint(kcut, (), 1, num_ws), num_ws)
         (g_loss, ws_mean), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, g_extras, state.d_params, z, z_mix, cutoff, kn1,
+            state.g_params, g_extras_c, state.d_params, z, z_mix, cutoff, kn1,
             aug_p, ka_g)
 
         # Lazy PPL: add its gradient on-cadence (both branches compiled,
@@ -280,9 +310,9 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         do_ppl = (state.step % cfg.ppl_interval == 0) & (cfg.ppl_weight > 0)
 
         def ppl_branch(g_params):
-            zp = jax.random.normal(kzp, (B, generator.z_dim))
+            zp = jax.random.normal(kzp, (B, generator.z_dim), dt)
             (_, aux), grads = jax.value_and_grad(ppl_penalty, has_aux=True)(
-                g_params, g_extras, zp, knp, kpl, state.pl_mean)
+                g_params, g_extras_c, zp, knp, kpl, state.pl_mean)
             return grads, aux
 
         def no_ppl(g_params):
@@ -297,11 +327,11 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         # D step with lazy R1.
-        z = jax.random.normal(kz2, (B, generator.z_dim))
+        z = jax.random.normal(kz2, (B, generator.z_dim), dt)
         do_r1 = state.step % cfg.r1_interval == 0
         (d_loss, (r1, rt_batch)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(
-            state.d_params, g_params, g_extras, x, z, kn2, do_r1,
+            state.d_params, g_params, g_extras_c, x, z, kn2, do_r1,
             aug_p, ka_df, ka_dr)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)

@@ -543,7 +543,7 @@ def train_viscoin(
     # Persisted with every checkpoint; a mismatch on --resume is an error,
     # not a silently different sample stream.
     resume_meta = {"fake_presample_steps": K, "batch_size": cfg.batch_size,
-                   "seed": seed}
+                   "seed": seed, "compute_dtype": str(cfg.compute_dtype)}
     if resume_from:
         state = ckpt.restore_train_state(state, resume_from,
                                          expect_meta=resume_meta)
