@@ -230,6 +230,51 @@ def test_classifier_step_mesh_matches_single_device():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_classifier_step_bf16_mixed_precision():
+    """compute_dtype='bfloat16': the step runs with a finite fp32 loss,
+    params AND BatchNorm running statistics stay fp32 (flax forces float32
+    stat reductions; the Adam masters are never cast), and the step is
+    deterministic in its inputs."""
+    import optax
+
+    from viscoin_tpu.train.classifiers import (
+        ClassifierState,
+        make_classifier_train_step,
+    )
+
+    model = Classifier(output_classes=NC, embedding_size=8,
+                       hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)),
+                           train=False)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (8, IMG, IMG, 3), dtype=np.uint8))
+    labels = jnp.arange(8, dtype=jnp.int32) % NC
+    tx = optax.adam(1e-3)
+    step = make_classifier_train_step(model, tx, compute_dtype="bfloat16")
+
+    def run():
+        state = ClassifierState(
+            params=jax.tree_util.tree_map(jnp.array, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.array,
+                                               variables["batch_stats"]),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return step(state, imgs, labels, jax.random.PRNGKey(1))
+
+    state, loss, correct = run()
+    assert np.isfinite(float(loss)) and np.asarray(loss).dtype == np.float32
+    assert 0 <= int(correct) <= 8
+    for leaf in jax.tree_util.tree_leaves((state.params, state.batch_stats)):
+        assert np.asarray(leaf).dtype == np.float32
+
+    state2, loss2, _ = run()
+    np.testing.assert_array_equal(np.asarray(loss), np.asarray(loss2))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_classifier_mesh_matches_single_device():
     """Data-parallel classifier training == single-device training: the
     sharded step's gradients AND BatchNorm batch statistics reduce globally

@@ -56,10 +56,10 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "for scaling past the per-chip batch minimum")
 @click.option("--compute-dtype", type=click.Choice(["bfloat16", "float32"]),
               default="bfloat16", show_default=True,
-              help="[viscoin/gan] Training compute precision: parameters and "
-                   "images cast at the loss boundary, fp32 Adam masters and "
-                   "loss reductions (the TPU-first default; float32 restores "
-                   "the reference's full-precision numerics)")
+              help="[classifier/viscoin/gan] Training compute precision: "
+                   "parameters and images cast at the loss boundary, fp32 "
+                   "Adam masters and loss reductions (the TPU-first default; "
+                   "float32 restores the reference's full-precision numerics)")
 @click.option("--debug-nans", is_flag=True,
               help="Fail fast on NaNs in any jitted computation")
 @click.option("--resume", "resume_from", type=click.Path(exists=True), default=None,
@@ -92,7 +92,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
     match model_name:
         case "classifier":
             _train_classifier(dataset, checkpoints, batch_size, learning_rate,
-                              epochs, output_weights, data_parallel)
+                              epochs, output_weights, data_parallel,
+                              compute_dtype=compute_dtype)
         case "concept2clip":
             _train_concept2clip(latent_type, dataset, epochs, learning_rate,
                                 batch_size, output_weights, data_parallel)
@@ -134,13 +135,14 @@ def _build_mesh(data_parallel: bool, model_parallel: int):
 
 def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
                       learning_rate, epochs, output_weights,
-                      data_parallel: bool = True):
+                      data_parallel: bool = True, compute_dtype="bfloat16"):
     from viscoin_tpu.models.resnet import Classifier
     from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
     from viscoin_tpu.utils import checkpoints as ckpt
 
     mesh = _build_mesh(data_parallel, 1)
-    params = ClassifierTrainingParams(epochs, learning_rate, batch_size)
+    params = ClassifierTrainingParams(epochs, learning_rate, batch_size,
+                                      compute_dtype=compute_dtype)
     configure_score_logging(f"classifier_{params.epochs}.jsonl")
     train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
 

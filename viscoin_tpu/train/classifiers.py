@@ -33,6 +33,14 @@ class ClassifierTrainingParams(IgnoreNone):
     epochs: int = 90
     learning_rate: float = 0.001
     batch_size: int = 32
+    # Mixed precision: params/images cast to ``compute_dtype`` inside the
+    # loss (bf16 convs on the MXU), fp32 Adam masters, fp32 loss/accuracy
+    # reductions. BatchNorm is safe under the cast: flax computes batch
+    # statistics "always at least float32" (flax _compute_stats), and the
+    # running stats stay fp32 because the EMA update promotes. The per-epoch
+    # eval always runs fp32 on the fp32 masters (metric parity). "float32"
+    # (the default here) is bit-identical to the pre-mixed-precision step.
+    compute_dtype: str = "float32"
 
 
 class ClassifierState(struct.PyTreeNode):
@@ -42,22 +50,39 @@ class ClassifierState(struct.PyTreeNode):
     step: jax.Array
 
 
-def make_classifier_train_step(classifier, tx, mesh=None):
+def make_classifier_train_step(classifier, tx, mesh=None,
+                               compute_dtype: str = "float32"):
     """One jitted train step. With ``mesh``, the batch shards over the
     ``data`` axis (2-D meshes additionally shard the images' H axis over
     ``model``) and the state replicates — GSPMD all-reduces the gradients
     AND the BatchNorm batch statistics (jnp.mean over a sharded axis has
     global semantics under GSPMD, so the running stats match the
-    single-device step exactly)."""
+    single-device step exactly).
+
+    ``compute_dtype="bfloat16"``: params + images cast at the loss boundary
+    (grads flow through the cast back to the fp32 Adam masters); BatchNorm
+    batch stats are fp32 regardless (flax forces float32 reductions), so the
+    running statistics keep full precision."""
+    dt = jnp.dtype(compute_dtype)
+    f32 = jnp.float32
+
+    def cast(tree):
+        if dt == f32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(dt)
+            if hasattr(v, "dtype") and v.dtype == f32 else v, tree)
+
     def step(state: ClassifierState, images_u8, labels, rng):
         flips = jax.random.bernoulli(rng, 0.5, (images_u8.shape[0],))
-        x = device_preprocess(images_u8, flips)
+        x = device_preprocess(images_u8, flips).astype(dt)
 
         def loss_fn(params):
             (logits, _), updates = classifier.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": cast(params), "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"],
             )
+            logits = logits.astype(f32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
             correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
@@ -126,7 +151,8 @@ def train_classifier(classifier, variables, train_loader, test_loader,
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    step_fn = make_classifier_train_step(classifier, tx, mesh=mesh)
+    step_fn = make_classifier_train_step(classifier, tx, mesh=mesh,
+                                         compute_dtype=params.compute_dtype)
     rng = jax.random.PRNGKey(seed)
     if mesh is not None:
         from viscoin_tpu.parallel.mesh import replicate
