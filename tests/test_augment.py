@@ -150,6 +150,19 @@ def test_augment_rot90_blit_exact(rng):
                                atol=1e-6)
 
 
+def test_augment_refuses_non_square(rng):
+    """Non-square batches raise at trace time: the rot90 stages are only
+    area-preserving on square images — a drawn map with a00 ≈ 0 would
+    otherwise silently produce inf/NaN pixels."""
+    import pytest
+
+    from viscoin_tpu.train.augment import augment
+
+    img = jnp.asarray(rng.normal(size=(2, 8, 12, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="square"):
+        augment(img, jnp.asarray(0.5), jax.random.PRNGKey(0))
+
+
 def test_ada_update_direction_and_clip():
     """p adapts UP under overfitting signals (r_t > target) and DOWN
     otherwise, clamped to [0, 1] (upstream heuristic, target 0.6)."""

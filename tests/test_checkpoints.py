@@ -83,3 +83,30 @@ def test_train_state_resume(tmp_path):
     assert int(restored.step) == 7
     assert _trees_equal(restored.params, state.params)
     assert _trees_equal(restored.opt_state, state.opt_state)
+
+
+def test_resume_meta_mismatch_and_absent_key_refuse(tmp_path):
+    """expect_meta refuses BOTH a differing value and a key the checkpoint
+    never recorded: a pre-compute_dtype checkpoint resumed under the bf16
+    CLI default would otherwise silently switch training numerics."""
+    import pytest
+
+    from viscoin_tpu.train.viscoin import VisCoINTrainingParams, create_train_state
+
+    models = _tiny_models()
+    cfg = VisCoINTrainingParams(iterations=10, batch_size=2)
+    state = create_train_state(models, cfg)
+    path = str(tmp_path / "state")
+    ckpt.save_train_state(state, path, meta={"batch_size": 2, "seed": 0})
+
+    fresh = create_train_state(models, cfg)
+    # Subset + equal values: fine.
+    ckpt.restore_train_state(fresh, path, expect_meta={"batch_size": 2})
+    # Differing value: refuse.
+    with pytest.raises(ValueError, match="batch_size"):
+        ckpt.restore_train_state(fresh, path, expect_meta={"batch_size": 4})
+    # Key absent from the saved meta: refuse (not silently accept).
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ckpt.restore_train_state(
+            fresh, path,
+            expect_meta={"batch_size": 2, "compute_dtype": "bfloat16"})

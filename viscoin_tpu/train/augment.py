@@ -62,8 +62,17 @@ def _hat(u):
     return jnp.maximum(0.0, 1.0 - jnp.abs(u))
 
 
+@jax.checkpoint
 def twopass_warp(images: jax.Array, A: jax.Array, v: jax.Array) -> jax.Array:
     """Affine bilinear warp as two batched one-hot-matrix products.
+
+    Rematerialized (``jax.checkpoint``): the dense per-line interpolation
+    matrices S1/S2 are ~2·(H·W²+W·H²) elements PER IMAGE (33.5 MB bf16 at
+    256²) and the warp runs on three augmented D passes (fake, real, R1) —
+    keeping them alive as VJP residuals put the 256² batch-64 GAN step 7.4 GB
+    over HBM (measured OOM: 23.1 of 15.75 GB). They are pure iota arithmetic,
+    so the backward recomputes them instead; the adjoint stays a transposed
+    matmul. Double-grad (R1 through the pipe) composes through checkpoint.
 
     Samples ``src = A @ (p - c) + c + v`` per output pixel ``p`` (coords in
     (x, y) order, ``c`` the image center), zero outside the image — the
@@ -119,6 +128,12 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
         key: PRNG key; the output is a pure function of (images, p, key).
     """
     B, H, W, C = images.shape
+    if H != W:
+        # The rot90 stages (the blit draw AND the 90°-factoring of the
+        # composed map) are only area-preserving on square images; a
+        # non-square batch would silently produce inf/NaN pixels whenever a
+        # drawn map has a00 ≈ 0 (pure ±90° component). GAN pipes are square.
+        raise ValueError(f"augment() requires square images, got {H}x{W}")
     keys = jax.random.split(key, 16)
     x = images
 
@@ -191,9 +206,7 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
     # with an exact rot90 blit on the OUTPUT.
     ratio0 = jnp.abs(A[:, 1, 0]) / (jnp.abs(A[:, 0, 0]) + 1e-12)
     ratio1 = jnp.abs(A[:, 1, 1]) / (jnp.abs(A[:, 0, 1]) + 1e-12)
-    # The compensating output rot90 needs square images (always true for the
-    # GAN pipe); non-square falls back to the direct two-pass.
-    use_k1 = (ratio1 < ratio0) if H == W else jnp.zeros((B,), bool)
+    use_k1 = ratio1 < ratio0
     r90_inv = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]])
     A = jnp.where(use_k1[:, None, None],
                   jnp.einsum("bij,jk->bik", A, r90_inv), A)
@@ -204,9 +217,8 @@ def augment(images: jax.Array, p: jax.Array, key: jax.Array) -> jax.Array:
             & (jnp.abs(v).max(axis=1) < 1e-9) & ~use_k1)
 
     warped = twopass_warp(x, A, v)
-    if H == W:
-        warped = jnp.where(use_k1[:, None, None, None],
-                           jnp.rot90(warped, 1, axes=(1, 2)), warped)
+    warped = jnp.where(use_k1[:, None, None, None],
+                       jnp.rot90(warped, 1, axes=(1, 2)), warped)
     x = jnp.where(skip[:, None, None, None], x, warped)
 
     # ---- color: ONE composed 4x4 homogeneous matrix ------------------------

@@ -63,15 +63,11 @@ def make_classifier_train_step(classifier, tx, mesh=None,
     (grads flow through the cast back to the fp32 Adam masters); BatchNorm
     batch stats are fp32 regardless (flax forces float32 reductions), so the
     running statistics keep full precision."""
+    from viscoin_tpu.train.viscoin import make_cast
+
     dt = jnp.dtype(compute_dtype)
     f32 = jnp.float32
-
-    def cast(tree):
-        if dt == f32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda v: v.astype(dt)
-            if hasattr(v, "dtype") and v.dtype == f32 else v, tree)
+    cast = make_cast(compute_dtype)
 
     def step(state: ClassifierState, images_u8, labels, rng):
         flips = jax.random.bernoulli(rng, 0.5, (images_u8.shape[0],))

@@ -167,17 +167,13 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
 
     from viscoin_tpu.parallel.mesh import image_spec
 
+    from viscoin_tpu.train.viscoin import make_cast
+
     dt = jnp.dtype(cfg.compute_dtype)
     f32 = jnp.float32
-
-    def cast(tree):
-        """fp32 leaves -> compute dtype (identity at float32, so the full-
-        precision path is bit-identical to the pre-mixed-precision step)."""
-        if dt == f32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(dt)
-            if hasattr(x, "dtype") and x.dtype == f32 else x, tree)
+    # fp32 leaves -> compute dtype (identity at float32, so the full-
+    # precision path is bit-identical to the pre-mixed-precision step).
+    cast = make_cast(cfg.compute_dtype)
 
     spatial_sh = (NamedSharding(mesh, image_spec(mesh))
                   if mesh is not None and "model" in mesh.axis_names else None)

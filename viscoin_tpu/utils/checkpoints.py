@@ -179,8 +179,12 @@ def _check_meta(path: str, expect_meta: dict | None):
         return
     with open(meta_path) as f:
         saved = json.load(f)
-    diffs = {k: (saved[k], v) for k, v in expect_meta.items()
-             if k in saved and saved[k] != v}
+    # A key the current run expects but the checkpoint never recorded is a
+    # mismatch too: e.g. a pre-compute_dtype checkpoint resumed under the
+    # bf16 CLI default would otherwise silently switch training numerics —
+    # exactly the divergence this check exists to refuse.
+    diffs = {k: (saved.get(k, "<absent from checkpoint>"), v)
+             for k, v in expect_meta.items() if saved.get(k) != v}
     if diffs:
         raise ValueError(
             "resume mismatch vs checkpoint metadata (saved != current): "
@@ -206,9 +210,10 @@ def save_train_state(state, path: str, meta: dict | None = None):
 def restore_train_state(state, path: str, expect_meta: dict | None = None):
     """Restore into a freshly created TrainState (shapes/treedef template).
 
-    ``expect_meta``: the current run's invariants; any key that was recorded
-    at save time with a different value raises (a K/batch/seed mismatch
-    breaks exact replay — fail loudly instead of diverging silently)."""
+    ``expect_meta``: the current run's invariants; any key recorded at save
+    time with a different value — or never recorded at all — raises (a
+    K/batch/seed/dtype mismatch breaks exact replay — fail loudly instead
+    of diverging silently)."""
     _check_meta(path, expect_meta)
     template = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state, "gan_opt_state": state.gan_opt_state}
