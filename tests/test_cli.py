@@ -117,6 +117,69 @@ def test_cli_train_gan_synthetic(tmp_path, monkeypatch):
     assert img.shape == (1, 32, 32, 3) and bool(jnp.all(jnp.isfinite(img)))
 
 
+def test_cli_train_gan_fid(tmp_path, monkeypatch):
+    """`train gan --fid-every`: the upstream trainer's snapshot metric —
+    real-side moments accumulate once from the training set, FID of EMA
+    samples is logged as `fid` jsonl records on cadence (the detector is
+    stubbed with flattened-pixel features; the real Inception detectors have
+    their own parity tests)."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+
+    def fake_loader(path):
+        return lambda images: np.asarray(images).reshape(
+            images.shape[0], -1)[:, :8]
+
+    monkeypatch.setattr(cli_train, "_load_fid_detector", fake_loader)
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["train", "gan", "--dataset", "synthetic",
+                                  "--epochs", "3", "--batch-size", "4",
+                                  "--no-data-parallel",
+                                  "--channel-base", "256", "--channel-max", "16",
+                                  "--fid-every", "2", "--fid-samples", "8",
+                                  "--fid-detector", "fakedet",
+                                  "--output-weights", "gan-synth"])
+    assert result.exit_code == 0, result.output
+    records = [json.loads(line)
+               for line in (tmp_path / "gan_3.jsonl").read_text().splitlines()]
+    fids = {r["iteration"]: r["fid"] for r in records if "fid" in r}
+    # i=2 satisfies both the cadence (i>0, i%2==0) and last-iteration — ONE
+    # record; losses still log separately.
+    assert set(fids) == {2}, records
+    assert all(np.isfinite(v) for v in fids.values())
+    assert any("g_loss" in r for r in records)
+
+
+def test_cli_train_gan_snapshots(tmp_path, monkeypatch):
+    """`train gan --snapshot-every`: fakes_<it>.png grids of 16 EMA samples
+    from fixed latents (the upstream trainer's per-tick fakes grid)."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    runner = CliRunner()
+    result = runner.invoke(main, ["train", "gan", "--dataset", "synthetic",
+                                  "--epochs", "3", "--batch-size", "4",
+                                  "--no-data-parallel",
+                                  "--channel-base", "256", "--channel-max", "16",
+                                  "--snapshot-every", "2",
+                                  "--output-weights", "gan-synth"])
+    assert result.exit_code == 0, result.output
+    from PIL import Image
+
+    for it in (0, 2):
+        png = tmp_path / f"fakes_{it:06d}.png"
+        assert png.exists(), result.output
+        img = Image.open(png)
+        assert img.size == (4 * 32, 4 * 32) and img.mode == "RGB"
+
+
 def test_cli_train_gan_resume(tmp_path, monkeypatch):
     """`train gan --resume`: the saved train state (written next to
     --output-weights) resumes mid-run — the loop starts at the saved step

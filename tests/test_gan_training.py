@@ -285,6 +285,43 @@ def test_gan_step_bf16_mixed_precision(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gan_fid_fns_domain_and_determinism(rng):
+    """make_gan_fid_fns: both sides emit the detectors' ImageNet-normalized
+    domain (reals exactly, fakes bounded by the [0,1] clip), fakes are
+    deterministic in the key and vary across keys."""
+    from viscoin_tpu.data.transforms import normalize_only
+    from viscoin_tpu.train.gan import (
+        GANTrainingParams,
+        create_gan_train_state,
+        export_generator_vars,
+        make_gan_fid_fns,
+    )
+
+    generator, discriminator = _tiny_gan()
+    cfg = GANTrainingParams(batch_size=4)
+    state, g_extras = create_gan_train_state(generator, discriminator,
+                                             jax.random.PRNGKey(0), cfg, IMG)
+    ema_vars = export_generator_vars(state, g_extras)
+    fake_images, real_images = make_gan_fid_fns(generator, 4)
+
+    u8 = jnp.zeros((4, IMG, IMG, 3), jnp.uint8).at[:, :, :8].set(255)
+    got = np.asarray(real_images(u8))
+    want = np.asarray(normalize_only(
+        jnp.asarray(u8, jnp.float32) / 255.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    f1 = np.asarray(fake_images(ema_vars, jax.random.PRNGKey(5)))
+    f2 = np.asarray(fake_images(ema_vars, jax.random.PRNGKey(5)))
+    f3 = np.asarray(fake_images(ema_vars, jax.random.PRNGKey(6)))
+    assert f1.shape == (4, IMG, IMG, 3) and np.isfinite(f1).all()
+    np.testing.assert_array_equal(f1, f2)
+    assert np.abs(f1 - f3).max() > 0
+    # fakes stay inside the normalized image domain (the [0,1] clip)
+    lo = np.asarray(normalize_only(jnp.zeros((1, 1, 1, 3))))
+    hi = np.asarray(normalize_only(jnp.ones((1, 1, 1, 3))))
+    assert (f1 >= lo - 1e-5).all() and (f1 <= hi + 1e-5).all()
+
+
 def test_lazy_reg_optimizer_adjustment():
     """Upstream mb_ratio semantics: lr and betas adjusted by N/(N+1) for a
     regularizer on an every-N cadence (stylegan2-ada train.py)."""

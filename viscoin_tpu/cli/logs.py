@@ -16,16 +16,19 @@ def _plot_gan_logs(records: list[dict]) -> None:
     the reference has no GAN-training logs — it trains GANs externally)."""
     import matplotlib.pyplot as plt
 
-    steps = [r["iteration"] for r in records]
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4))
+    # Records are heterogeneous: loss records every 100 it, fid-only records
+    # on the --fid-every cadence — select per key instead of assuming a
+    # rectangular schema.
     for key in ("g_loss", "d_loss"):
-        ax1.plot(steps, [r[key] for r in records], label=key)
+        pts = [(r["iteration"], r[key]) for r in records if key in r]
+        ax1.plot([p[0] for p in pts], [p[1] for p in pts], label=key)
     ax1.set_xlabel("iteration"), ax1.legend(), ax1.set_title("adversarial losses")
-    for key in ("r1", "pl_lengths", "pl_mean", "ada_p"):
+    for key in ("r1", "pl_lengths", "pl_mean", "ada_p", "fid"):
         if any(key in r for r in records):
-            pts = [(s, r[key]) for s, r in zip(steps, records) if key in r]
+            pts = [(r["iteration"], r[key]) for r in records if key in r]
             ax2.plot([p[0] for p in pts], [p[1] for p in pts], label=key)
-    ax2.set_xlabel("iteration"), ax2.legend(), ax2.set_title("regularizers")
+    ax2.set_xlabel("iteration"), ax2.legend(), ax2.set_title("regularizers / fid")
     plt.tight_layout()
     plt.show()
 

@@ -75,15 +75,30 @@ from viscoin_tpu.utils.logging import configure_score_logging
               help="[gan] StyleGAN2 channel cap per layer")
 @click.option("--fid-detector", "fid_detector_path", type=click.Path(exists=True),
               default=None,
-              help="[viscoin] FID feature detector: a ported orbax dir "
+              help="[viscoin/gan] FID feature detector: a ported orbax dir "
                    "(pytorch-fid or inception-nvlabs convention, "
                    "auto-detected) or the NVlabs TorchScript "
                    "inception-2015-12-05.pt itself (bit-exact, host CPU). "
                    "Default: checkpoints/inception if present")
+@click.option("--fid-every", type=int, default=0,
+              help="[gan] Compute FID every N iterations — EMA-generator "
+                   "samples vs the training distribution (the upstream "
+                   "trainer's snapshot metric). 0 disables; needs a FID "
+                   "detector (see --fid-detector)")
+@click.option("--fid-samples", type=int, default=8192,
+              help="[gan] Samples per side for each in-loop FID estimate "
+                   "(upstream fid50k_full uses 50k; smaller is faster and "
+                   "noisier — comparable across a run at a fixed value)")
+@click.option("--snapshot-every", type=int, default=0,
+              help="[gan] Write a fakes_<it>.png grid of 16 EMA-generator "
+                   "samples every N iterations, from FIXED latents so the "
+                   "grids stay comparable across training (the upstream "
+                   "trainer's per-tick fakes grid). 0 disables")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, model_parallel, compute_dtype, debug_nans, resume_from,
-          profile_dir, channel_base, channel_max, fid_detector_path):
+          profile_dir, channel_base, channel_max, fid_detector_path,
+          fid_every, fid_samples, snapshot_every):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -107,7 +122,10 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
                        resume_from=resume_from, model_parallel=model_parallel,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       fid_detector_path=fid_detector_path,
+                       fid_every=fid_every, fid_samples=fid_samples,
+                       snapshot_every=snapshot_every)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -222,15 +240,20 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
 def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                data_parallel, output_weights, channel_base=16384,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
-               seed=0, model_parallel=1, compute_dtype="bfloat16"):
+               seed=0, model_parallel=1, compute_dtype="bfloat16",
+               fid_detector_path=None, fid_every=0, fid_samples=8192,
+               snapshot_every=0):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
     `train viscoin` consumes as the pretrained GAN, plus jsonl metrics.
     Checkpoints the full GANTrainState every ``checkpoint_every`` iterations
     (next to --output-weights as <output>.train_state) and resumes
-    deterministically with --resume, like `train viscoin`."""
+    deterministically with --resume, like `train viscoin`. ``fid_every``
+    adds the upstream trainer's snapshot metric: FID of EMA-generator
+    samples vs the training distribution, logged as ``fid`` jsonl records."""
     import json
+    import os
 
     import jax.numpy as jnp
     import numpy as np
@@ -288,6 +311,59 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     mesh = _build_mesh(data_parallel, model_parallel)
     step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
 
+    # In-loop FID (the upstream trainer's snapshot metric): real-side moments
+    # accumulate ONCE from a deterministic pass over the training set; the
+    # fake side resamples the EMA generator at every cadence point.
+    fid_state = None
+    if fid_every:
+        if world > 1:
+            raise click.UsageError(
+                "--fid-every is single-host: the fake-side sampling and "
+                "host-side moment accumulation are not sharded across "
+                "processes (run FID offline on the exported generator "
+                "instead)")
+        detector_path = fid_detector_path or "checkpoints/inception"
+        if not os.path.exists(detector_path):
+            raise click.UsageError(
+                f"--fid-every needs a FID detector; none at {detector_path} "
+                "(port weights with scripts/port_weights.py inception, or "
+                "pass --fid-detector)")
+        from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
+        from viscoin_tpu.train.gan import make_gan_fid_fns
+
+        detector = _load_fid_detector(detector_path)
+        fake_images_fn, real_images_fn = make_gan_fid_fns(generator,
+                                                          cfg.batch_size)
+        stats_real = FeatureStats(max_items=fid_samples)
+        real_loader = DataLoader(train_loader.dataset, cfg.batch_size,
+                                 shuffle=False)
+        for images, _ in real_loader:
+            if images.shape[0] != cfg.batch_size:
+                continue
+            stats_real.append(np.asarray(
+                detector(real_images_fn(jnp.asarray(images)))))
+            if stats_real.num_items >= fid_samples:
+                break
+        fid_state = (detector, fake_images_fn, stats_real,
+                     FeatureStats, fid_from_stats)
+        click.echo(f"FID every {fid_every} it: {stats_real.num_items} real "
+                   f"samples accumulated, {fid_samples} fakes per estimate")
+
+    snapshot_fn = None
+    if snapshot_every:
+        if world > 1:
+            raise click.UsageError(
+                "--snapshot-every is single-host (host-side PNG writes from "
+                "a process-0-only dispatch; sample offline from the exported "
+                "generator instead)")
+        from viscoin_tpu.train.gan import make_gan_snapshot_fn
+
+        snapshot_fn = make_gan_snapshot_fn(generator, 16)
+        # Fixed latents: the same key every snapshot (disjoint from the
+        # step/fid streams), so the grids stay comparable across training.
+        snapshot_key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                          2 * cfg.iterations + 1)
+
     state_path = f"{output_weights}.train_state"
     resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
                    "augment": cfg.augment, "compute_dtype": cfg.compute_dtype}
@@ -323,6 +399,36 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         if i % 100 == 0 or i == cfg.iterations - 1:
             logger.info(json.dumps(
                 {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
+        if fid_state is not None and \
+                ((i > start and i % fid_every == 0) or i == cfg.iterations - 1):
+            detector, fake_images_fn, stats_real, FeatureStats, fid_from_stats \
+                = fid_state
+            ema_vars = export_generator_vars(state, g_extras)
+            stats_fake = FeatureStats(max_items=fid_samples)
+            j = 0
+            while stats_fake.num_items < fid_samples:
+                # Key stream disjoint from the per-step fold_in(base, i) keys
+                # (fid indices start at cfg.iterations) and fresh per eval.
+                k = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, cfg.iterations + i), j)
+                stats_fake.append(np.asarray(
+                    detector(fake_images_fn(ema_vars, k))))
+                j += 1
+            fid = fid_from_stats(stats_real, stats_fake)
+            logger.info(json.dumps({"iteration": i, "fid": fid}))
+            click.echo(f"it {i}: fid={fid:.3f} "
+                       f"({stats_fake.num_items} fakes)")
+        if snapshot_fn is not None and \
+                (i % snapshot_every == 0 or i == cfg.iterations - 1) \
+                and jax.process_index() == 0:
+            from PIL import Image
+
+            u8 = np.asarray(jax.device_get(snapshot_fn(
+                export_generator_vars(state, g_extras), snapshot_key)))
+            n, h, w, c = u8.shape  # 16 -> 4x4 grid
+            grid = u8.reshape(4, 4, h, w, c).transpose(0, 2, 1, 3, 4)
+            grid = grid.reshape(4 * h, 4 * w, c)
+            Image.fromarray(grid).save(f"fakes_{i:06d}.png")
         if checkpoint_every and i > start and i % checkpoint_every == 0 \
                 and jax.process_index() == 0:
             ckpt.save_gan_train_state(state, state_path, meta=resume_meta)

@@ -146,6 +146,53 @@ def export_generator_vars(state: GANTrainState, g_extras: Any,
     }
 
 
+def make_gan_fid_fns(generator, batch_size: int):
+    """In-loop FID support for ``train gan`` (the upstream trainer's
+    fid50k_full snapshot metric — the reference consumes pickles produced by
+    exactly that trainer, reference viscoin/cli/train.py:204; FID is how its
+    runs are monitored/selected).
+
+    Returns two jitted callables producing ImageNet-normalized float NHWC
+    batches in the domain the pluggable FID detectors expect
+    (models/inception.py): ``fake_images(ema_vars, key)`` samples the EMA
+    generator (fresh z, random per-pixel noise, no truncation — upstream
+    metric semantics), ``real_images(images_u8)`` converts loader batches.
+    Both ride the SAME [0,1] → ImageNet adapter so the detector sees
+    identically-processed pixels on each side."""
+    from viscoin_tpu.data.transforms import normalize_only
+
+    @jax.jit
+    def fake_images(ema_vars, key):
+        kz, kn = jax.random.split(key)
+        z = jax.random.normal(kz, (batch_size, generator.z_dim))
+        img = generator.apply(ema_vars, z, rngs={"noise": kn})
+        unit = jnp.clip((img.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+        return normalize_only(unit)
+
+    @jax.jit
+    def real_images(images_u8):
+        return normalize_only(images_u8.astype(jnp.float32) / 255.0)
+
+    return fake_images, real_images
+
+
+def make_gan_snapshot_fn(generator, n_images: int):
+    """u8 EMA-sample batch for training snapshots (the upstream trainer
+    writes a fakes png grid every tick from FIXED grid latents — callers
+    pass the same key each snapshot so the images stay comparable across
+    training)."""
+
+    @jax.jit
+    def sample(ema_vars, key):
+        kz, kn = jax.random.split(key)
+        z = jax.random.normal(kz, (n_images, generator.z_dim))
+        img = generator.apply(ema_vars, z, rngs={"noise": kn})
+        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5,
+                        0.0, 255.0).astype(jnp.uint8)
+
+    return sample
+
+
 def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
                         preprocess: bool = True, mesh=None):
     """One jitted alternating G/D step with style mixing, lazy R1/PPL,
