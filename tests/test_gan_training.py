@@ -285,6 +285,41 @@ def test_gan_step_bf16_mixed_precision(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gan_mirror_knob(rng):
+    """mirror=False feeds reals unflipped (upstream --mirror=0): with an
+    asymmetric batch and augment off, the D loss differs from the mirrored
+    step at the same key, and equals a run on pre-flipped images only when
+    mirroring is off (flips are the sole key-dependent real-path transform
+    here)."""
+    from viscoin_tpu.train.gan import (
+        GANTrainingParams,
+        create_gan_train_state,
+        make_gan_train_step,
+    )
+
+    generator, discriminator = _tiny_gan()
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+    images = images.at[:, :, : IMG // 2].set(255)  # strongly asymmetric
+    key = jax.random.PRNGKey(3)
+
+    def run(mirror, imgs):
+        cfg = GANTrainingParams(batch_size=4, augment="none", mirror=mirror,
+                                r1_interval=3, ppl_interval=3)
+        state, g_extras = create_gan_train_state(
+            generator, discriminator, jax.random.PRNGKey(0), cfg, IMG)
+        step = make_gan_train_step(generator, discriminator, cfg)
+        _, m = step(state, g_extras, imgs, key)
+        return float(m["d_loss"])
+
+    d_plain = run(False, images)
+    d_mirror = run(True, images)
+    assert d_plain != d_mirror  # the key's flips hit some image
+    # mirror=False is flip-free: pre-flipping the batch changes the loss,
+    # and re-running is exact (no hidden randomness on the real path).
+    assert run(False, images[:, :, ::-1]) != d_plain
+    assert run(False, images) == d_plain
+
+
 def test_gan_fid_fns_domain_and_determinism(rng):
     """make_gan_fid_fns: both sides emit the detectors' ImageNet-normalized
     domain (reals exactly, fakes bounded by the [0,1] clip), fakes are

@@ -89,6 +89,10 @@ from viscoin_tpu.utils.logging import configure_score_logging
               help="[gan] Samples per side for each in-loop FID estimate "
                    "(upstream fid50k_full uses 50k; smaller is faster and "
                    "noisier — comparable across a run at a fixed value)")
+@click.option("--mirror/--no-mirror", default=True, show_default=True,
+              help="[gan] Dataset x-flip doubling (upstream --mirror; the "
+                   "reference's CUB pickles come from mirrored runs). "
+                   "Distinct from ADA, which augments only D's view")
 @click.option("--snapshot-every", type=int, default=0,
               help="[gan] Write a fakes_<it>.png grid of 16 EMA-generator "
                    "samples every N iterations, from FIXED latents so the "
@@ -98,7 +102,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, model_parallel, compute_dtype, debug_nans, resume_from,
           profile_dir, channel_base, channel_max, fid_detector_path,
-          fid_every, fid_samples, snapshot_every):
+          fid_every, fid_samples, mirror, snapshot_every):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -125,7 +129,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                        compute_dtype=compute_dtype,
                        fid_detector_path=fid_detector_path,
                        fid_every=fid_every, fid_samples=fid_samples,
-                       snapshot_every=snapshot_every)
+                       mirror=mirror, snapshot_every=snapshot_every)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -242,7 +246,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
                seed=0, model_parallel=1, compute_dtype="bfloat16",
                fid_detector_path=None, fid_every=0, fid_samples=8192,
-               snapshot_every=0):
+               mirror=True, snapshot_every=0):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -274,7 +278,8 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     # None-valued CLI flags fall through to the dataclass defaults
     # (IgnoreNone), like every other train subcommand.
     cfg = GANTrainingParams(iterations=epochs, learning_rate=learning_rate,
-                            batch_size=batch_size, compute_dtype=compute_dtype)
+                            batch_size=batch_size, compute_dtype=compute_dtype,
+                            mirror=mirror)
     world = jax.process_count()
     if world > 1:
         # Multi-host: each process loads its shard of every global batch
@@ -366,7 +371,8 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     state_path = f"{output_weights}.train_state"
     resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
-                   "augment": cfg.augment, "compute_dtype": cfg.compute_dtype}
+                   "augment": cfg.augment, "compute_dtype": cfg.compute_dtype,
+                   "mirror": cfg.mirror}
     if resume_from:
         state = ckpt.restore_gan_train_state(state, resume_from,
                                              expect_meta=resume_meta)

@@ -68,6 +68,12 @@ class GANTrainingParams(IgnoreNone):
     ada_interval: int = 4  # adjust p every N steps
     ada_kimg: float = 500.0  # p moves by (batch·interval)/(kimg·1000) per adjust
 
+    # Dataset x-flip doubling (upstream --mirror; distinct from ADA's xflip,
+    # which augments D's view only — mirror changes what G learns to model).
+    # Default on: the reference's CUB pickles come from mirrored runs
+    # (birds are left/right symmetric; upstream CUB configs use mirror=1).
+    mirror: bool = True
+
     # Mixed precision (the TPU analogue of upstream ADA's num_fp16_res=4
     # default): params/images cast to ``compute_dtype`` at the loss boundary,
     # fp32 Adam masters/EMA/w_avg/pl_mean, and every loss/penalty reduction
@@ -328,8 +334,9 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         if preprocess:
             # GANs train on [-1, 1] images
             x = images_u8.astype(jnp.float32) / 127.5 - 1.0
-            flips = jax.random.bernoulli(k_flip, 0.5, (images_u8.shape[0],))
-            x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
+            if cfg.mirror:
+                flips = jax.random.bernoulli(k_flip, 0.5, (images_u8.shape[0],))
+                x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
         else:
             x = images_u8
         if x.dtype != dt:
