@@ -141,7 +141,7 @@ def load_nvlabs_pickle(path: str):
 
     result = {}
     if isinstance(obj, dict):
-        for key in ("G_ema", "G", "generator", "gan"):
+        for key in ("G_ema", "G", "generator", "gan", "D", "discriminator"):
             if key in obj:
                 result[key] = tensors_from(obj[key] if isinstance(obj[key], dict)
                                            else getattr(obj[key], "__dict__", {}))
@@ -180,11 +180,23 @@ def main():
         }
     elif kind == "stylegan":
         nets = load_nvlabs_pickle(src)
-        sd = nets.get("G_ema") or next(iter(nets.values()), None)
+        sd = (nets.get("G_ema") or nets.get("G") or nets.get("generator")
+              or nets.get("gan"))
         if not sd:
             raise SystemExit(f"no generator tensors found in {src} — is this a "
                              "stylegan2-ada network pickle with a G/G_ema entry?")
         out = porting.convert_torch_generator(porting.state_dict_to_numpy(sd))
+        # Discriminator (when the pickle ships one): written NEXT to the
+        # generator as <dst>.discriminator — `train gan --init-from <dst>`
+        # picks it up for transfer learning (upstream --resume semantics).
+        d_sd = nets.get("D") or nets.get("discriminator")
+        if d_sd:
+            save_pytree(
+                porting.convert_torch_discriminator(
+                    porting.state_dict_to_numpy(d_sd)),
+                f"{dst}.discriminator")
+            print(f"ported stylegan discriminator: {src} -> "
+                  f"{dst}.discriminator")
     elif kind == "lpips":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
         out = porting.convert_torch_lpips(porting.state_dict_to_numpy(sd))

@@ -180,6 +180,45 @@ def test_cli_train_gan_snapshots(tmp_path, monkeypatch):
         assert img.size == (4 * 32, 4 * 32) and img.mode == "RGB"
 
 
+def test_cli_train_gan_init_from(tmp_path, monkeypatch):
+    """`train gan --init-from`: transfer-learning warm start from exported
+    generator variables (upstream `--resume <pickle>` semantics) — loads,
+    trains, refuses combined with --resume, and refuses a config mismatch."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    runner = CliRunner()
+    base = ["train", "gan", "--dataset", "synthetic", "--batch-size", "4",
+            "--no-data-parallel", "--channel-base", "256", "--channel-max", "16"]
+    result = runner.invoke(main, base + ["--epochs", "1",
+                                         "--output-weights", "gan-donor"])
+    assert result.exit_code == 0, result.output
+
+    result = runner.invoke(main, base + ["--epochs", "1",
+                                         "--init-from", "gan-donor",
+                                         "--output-weights", "gan-warm"])
+    assert result.exit_code == 0, result.output
+    assert "warm start from gan-donor" in result.output
+
+    # --init-from + --resume is contradictory
+    result = runner.invoke(main, base + [
+        "--epochs", "2", "--init-from", "gan-donor",
+        "--resume", "gan-warm.train_state", "--output-weights", "gan-warm"])
+    assert result.exit_code != 0
+    assert "pick one" in result.output
+
+    # config mismatch refuses loudly instead of training garbage
+    result = runner.invoke(main, [
+        "train", "gan", "--dataset", "synthetic", "--batch-size", "4",
+        "--no-data-parallel", "--channel-base", "128", "--channel-max", "8",
+        "--epochs", "1", "--init-from", "gan-donor",
+        "--output-weights", "gan-bad"])
+    assert result.exit_code != 0
+    assert isinstance(result.exception, ValueError)
+
+
 def test_cli_train_gan_resume(tmp_path, monkeypatch):
     """`train gan --resume`: the saved train state (written next to
     --output-weights) resumes mid-run — the loop starts at the saved step

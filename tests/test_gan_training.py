@@ -320,6 +320,64 @@ def test_gan_mirror_knob(rng):
     assert run(False, images) == d_plain
 
 
+def test_gan_warm_start(rng):
+    """warm_start_gan_state (upstream --resume <pickle> transfer-learning
+    semantics): donor EMA weights land in BOTH g_params and g_ema_params,
+    w_avg and noise consts follow, d_params loads when given, optimizers /
+    step / ADA stay fresh; a config mismatch refuses."""
+    from viscoin_tpu.train.gan import (
+        GANTrainingParams,
+        create_gan_train_state,
+        export_generator_vars,
+        make_gan_train_step,
+        warm_start_gan_state,
+    )
+
+    generator, discriminator = _tiny_gan()
+    cfg = GANTrainingParams(batch_size=4)
+    donor, donor_extras = create_gan_train_state(
+        generator, discriminator, jax.random.PRNGKey(7), cfg, IMG)
+    donor = donor.replace(w_avg=jnp.full((generator.w_dim,), 0.25))
+    gvars = export_generator_vars(donor, donor_extras)
+
+    fresh, fresh_extras = create_gan_train_state(
+        generator, discriminator, jax.random.PRNGKey(0), cfg, IMG)
+    warm, warm_extras = warm_start_gan_state(fresh, fresh_extras, gvars,
+                                             d_params=donor.d_params)
+
+    def trees_equal(a, b):
+        return all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    assert trees_equal(warm.g_params, donor.g_ema_params)
+    assert trees_equal(warm.g_ema_params, donor.g_ema_params)
+    assert trees_equal(warm.d_params, donor.d_params)
+    np.testing.assert_array_equal(np.asarray(warm.w_avg),
+                                  np.asarray(donor.w_avg))
+    assert int(warm.step) == 0
+    assert trees_equal(warm.g_opt_state, fresh.g_opt_state)  # fresh Adam
+    assert float(warm.pl_mean) == 0.0 and float(warm.ada_rt) == 0.0
+
+    # The warm state trains (one finite step).
+    step = make_gan_train_step(generator, discriminator, cfg)
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+    _, m = step(warm, warm_extras, images, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
+
+    # Config mismatch refuses loudly.
+    import pytest
+
+    other = Generator(z_dim=8, w_dim=16, img_resolution=IMG,
+                      channel_base=128, channel_max=8, mapping_layers=1)
+    other_d = Discriminator(img_resolution=IMG, channel_base=128,
+                            channel_max=8, mbstd_group_size=2)
+    small, small_extras = create_gan_train_state(
+        other, other_d, jax.random.PRNGKey(0), cfg, IMG)
+    with pytest.raises(ValueError, match="generator params"):
+        warm_start_gan_state(small, small_extras, gvars)
+
+
 def test_gan_fid_fns_domain_and_determinism(rng):
     """make_gan_fid_fns: both sides emit the detectors' ImageNet-normalized
     domain (reals exactly, fakes bounded by the [0,1] clip), fakes are

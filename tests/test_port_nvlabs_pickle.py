@@ -98,6 +98,63 @@ def _fabricate_pickle(path, rng):
         del sys.modules["torch_utils.persistence"]
 
 
+def test_load_nvlabs_pickle_extracts_discriminator(tmp_path):
+    """Pickles ship G_ema AND D; the D entry is recovered with flat torch
+    naming and flows through convert_torch_discriminator (4² epilogue-only
+    config) — the `train gan --init-from` transfer-learning path."""
+    sys.path.insert(0, "scripts")
+    from port_weights import load_nvlabs_pickle
+
+    rng = np.random.default_rng(1)
+    conv = _module_meta("Conv2dLayer", params={
+        "weight": rng.standard_normal((8, 8, 3, 3)).astype(np.float32),
+        "bias": np.zeros(8, np.float32),
+    })
+    fc = _module_meta("FullyConnectedLayer", params={
+        "weight": rng.standard_normal((16, 8 * 16)).astype(np.float32),
+        "bias": np.zeros(16, np.float32),
+    })
+    out = _module_meta("FullyConnectedLayer", params={
+        "weight": rng.standard_normal((1, 16)).astype(np.float32),
+        "bias": np.zeros(1, np.float32),
+    })
+    b4 = _module_meta("DiscriminatorEpilogue",
+                      modules={"conv": conv, "fc": fc, "out": out})
+    disc = _module_meta("Discriminator", modules={"b4": b4})
+
+    pers = types.ModuleType("torch_utils.persistence")
+    pers._reconstruct_persistent_obj = _reconstruct_persistent_obj
+    tu = types.ModuleType("torch_utils")
+    tu.persistence = pers
+    sys.modules["torch_utils"] = tu
+    sys.modules["torch_utils.persistence"] = pers
+    path = str(tmp_path / "net.pkl")
+    try:
+        with open(path, "wb") as f:
+            pickle.dump({"G_ema": _Persisted(_module_meta("Generator")),
+                         "D": _Persisted(disc)}, f)
+    finally:
+        del sys.modules["torch_utils"]
+        del sys.modules["torch_utils.persistence"]
+
+    nets = load_nvlabs_pickle(path)
+    assert "D" in nets
+    sd = nets["D"]
+    assert {"b4.conv.weight", "b4.conv.bias", "b4.fc.weight", "b4.fc.bias",
+            "b4.out.weight", "b4.out.bias"} <= set(sd)
+
+    from viscoin_tpu.utils.porting import (
+        convert_torch_discriminator,
+        state_dict_to_numpy,
+    )
+
+    params = convert_torch_discriminator(state_dict_to_numpy(sd),
+                                         img_resolution=4)
+    assert params["conv"]["weight"].shape == (3, 3, 8, 8)  # HWIO
+    assert params["fc"]["weight"].shape == (16, 128)  # NHWC-permuted columns
+    assert params["out"]["weight"].shape == (1, 16)
+
+
 def test_load_nvlabs_pickle_state_dict_naming(tmp_path):
     sys.path.insert(0, "scripts")
     from port_weights import load_nvlabs_pickle

@@ -89,6 +89,13 @@ from viscoin_tpu.utils.logging import configure_score_logging
               help="[gan] Samples per side for each in-loop FID estimate "
                    "(upstream fid50k_full uses 50k; smaller is faster and "
                    "noisier — comparable across a run at a fixed value)")
+@click.option("--init-from", "init_from", type=click.Path(exists=True),
+              default=None,
+              help="[gan] Transfer-learning warm start (upstream `--resume "
+                   "<pickle>` semantics): load generator variables (a "
+                   "`train gan` export or `port_weights.py stylegan` "
+                   "output; + <path>.discriminator if present) into a fresh "
+                   "run — weights transfer, optimizers/step/ADA start over")
 @click.option("--mirror/--no-mirror", default=True, show_default=True,
               help="[gan] Dataset x-flip doubling (upstream --mirror; the "
                    "reference's CUB pickles come from mirrored runs). "
@@ -102,7 +109,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, model_parallel, compute_dtype, debug_nans, resume_from,
           profile_dir, channel_base, channel_max, fid_detector_path,
-          fid_every, fid_samples, mirror, snapshot_every):
+          fid_every, fid_samples, init_from, mirror, snapshot_every):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -129,7 +136,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                        compute_dtype=compute_dtype,
                        fid_detector_path=fid_detector_path,
                        fid_every=fid_every, fid_samples=fid_samples,
-                       mirror=mirror, snapshot_every=snapshot_every)
+                       mirror=mirror, snapshot_every=snapshot_every,
+                       init_from=init_from)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -246,7 +254,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
                seed=0, model_parallel=1, compute_dtype="bfloat16",
                fid_detector_path=None, fid_every=0, fid_samples=8192,
-               mirror=True, snapshot_every=0):
+               mirror=True, snapshot_every=0, init_from=None):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -313,6 +321,22 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     state, g_extras = create_gan_train_state(generator, discriminator,
                                              jax.random.PRNGKey(seed), cfg, size)
+    if init_from:
+        if resume_from:
+            raise click.UsageError(
+                "--init-from is a fresh warm start (weights only); "
+                "--resume continues a run exactly — pick one")
+        from viscoin_tpu.train.gan import warm_start_gan_state
+
+        gvars = ckpt.restore_pytree(init_from)
+        d_path = f"{init_from}.discriminator"
+        d_params = ckpt.restore_pytree(d_path) if os.path.exists(d_path) \
+            else None
+        state, g_extras = warm_start_gan_state(state, g_extras, gvars,
+                                               d_params)
+        click.echo(f"warm start from {init_from} (generator"
+                   + (" + discriminator)" if d_params is not None
+                      else "; fresh discriminator)"))
     mesh = _build_mesh(data_parallel, model_parallel)
     step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
 

@@ -152,6 +152,54 @@ def export_generator_vars(state: GANTrainState, g_extras: Any,
     }
 
 
+def _check_tree_shapes(name: str, got, want):
+    got_l, got_t = jax.tree_util.tree_flatten(got)
+    want_l, want_t = jax.tree_util.tree_flatten(want)
+    if got_t != want_t:
+        raise ValueError(
+            f"{name}: loaded tree structure does not match this model "
+            f"config (wrong resolution / channel_base / channel_max?)")
+    for g, w in zip(got_l, want_l):
+        if jnp.shape(g) != jnp.shape(w):
+            raise ValueError(
+                f"{name}: loaded leaf shape {jnp.shape(g)} != expected "
+                f"{jnp.shape(w)} — channel config mismatch")
+
+
+def warm_start_gan_state(state: GANTrainState, g_extras: dict, gvars: dict,
+                         d_params=None):
+    """Transfer-learning init (upstream ``train.py --resume <pickle>``
+    semantics — how stylegan2-ada is normally used on small datasets like
+    CUB): generator weights load into BOTH g_params and g_ema_params, w_avg
+    comes from the ported ``moving_stats`` (kept when absent), non-param
+    collections (noise consts) follow the port, and ``d_params`` loads the
+    ported discriminator when given. Optimizers, step counter, pl_mean and
+    ADA state start fresh. Shape-validated against the freshly-initialized
+    templates — a config mismatch fails loudly instead of training garbage.
+
+    Returns ``(state, g_extras)``.
+    """
+    _check_tree_shapes("generator params", gvars["params"], state.g_params)
+    as_arr = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    w_avg = (gvars.get("moving_stats", {}).get("mapping", {})
+             .get("w_avg", state.w_avg))
+    state = state.replace(
+        g_params=as_arr(gvars["params"]),
+        # Distinct buffers: the train step donates the state, and g_params /
+        # g_ema_params sharing storage is a donate-the-same-buffer-twice
+        # runtime error.
+        g_ema_params=jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), gvars["params"]),
+        w_avg=jnp.asarray(w_avg, jnp.float32),
+    )
+    g_extras = {k: (as_arr(gvars[k]) if k in gvars else v)
+                for k, v in g_extras.items()}
+    if d_params is not None:
+        _check_tree_shapes("discriminator params", d_params, state.d_params)
+        state = state.replace(d_params=as_arr(d_params))
+    return state, g_extras
+
+
 def make_gan_fid_fns(generator, batch_size: int):
     """In-loop FID support for ``train gan`` (the upstream trainer's
     fid50k_full snapshot metric — the reference consumes pickles produced by
