@@ -334,3 +334,33 @@ def test_train_classifier_mesh_refuses_indivisible_batch():
     with pytest.raises(ValueError, match="does not divide"):
         train_classifier(model, variables, loader, loader, params,
                          mesh=make_mesh())  # 8 devices, batch 6
+
+
+def test_train_classifier_sgd(tmp_path):
+    """optimizer="sgd" (the reference README's Stanford-Cars recipe,
+    README.md:203 — its hardcoded-Adam code cannot run it) trains through
+    the same StepLR schedule; an unknown optimizer refuses."""
+    from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
+    from viscoin_tpu.utils.logging import configure_score_logging
+
+    configure_score_logging(str(tmp_path / "classifier_sgd.jsonl"))
+    train_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG, mode="train")
+    test_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG, mode="test")
+    train_loader = DataLoader(train_ds, batch_size=8, num_threads=0)
+    test_loader = DataLoader(test_ds, batch_size=8, shuffle=False, num_threads=0)
+
+    model = Classifier(output_classes=NC, embedding_size=8,
+                       hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)),
+                           train=False)
+    params = ClassifierTrainingParams(epochs=1, learning_rate=0.1, batch_size=8,
+                                      optimizer="sgd", momentum=0.9)
+    best, best_acc = train_classifier(model, variables, train_loader,
+                                      test_loader, params)
+    assert 0 <= best_acc <= 1
+    assert all(np.all(np.isfinite(leaf))
+               for leaf in jax.tree_util.tree_leaves(best))
+
+    bad = ClassifierTrainingParams(epochs=1, batch_size=8, optimizer="rmsprop")
+    with pytest.raises(ValueError, match="expected adam|sgd"):
+        train_classifier(model, variables, train_loader, test_loader, bad)

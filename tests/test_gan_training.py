@@ -436,3 +436,29 @@ def test_lazy_reg_optimizer_adjustment():
     # Adam's first step is -lr * g/(|g|+eps) = -lr regardless of betas.
     assert abs(first_step_scale(g_tx) + 0.002 * 4 / 5) < 1e-8
     assert abs(first_step_scale(d_tx) + 0.002 * 16 / 17) < 1e-8
+
+
+def test_gan_ema_rampup(rng):
+    """ema_rampup caps the EMA half-life at rampup·nimg (upstream 'auto'
+    config): early in training the EMA tracks the live weights almost
+    exactly, while without rampup it barely moves off the init."""
+    generator, discriminator = _tiny_gan()
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+
+    def ema_gap(ema_rampup):
+        cfg = GANTrainingParams(batch_size=4, augment="none",
+                                ema_kimg=10.0, ema_rampup=ema_rampup)
+        state, g_extras = create_gan_train_state(generator, discriminator,
+                                                 jax.random.PRNGKey(0), cfg, IMG)
+        step = make_gan_train_step(generator, discriminator, cfg)
+        state, _ = step(state, g_extras, images, jax.random.PRNGKey(1))
+        gaps = jax.tree_util.tree_map(
+            lambda e, p: float(np.max(np.abs(np.asarray(e) - np.asarray(p)))),
+            state.g_ema_params, state.g_params)
+        return max(jax.tree_util.tree_leaves(gaps))
+
+    # step 0 with rampup 0.05: half-life capped at 0.05·4 images ⇒
+    # beta = 0.5^20 ≈ 1e-6 ⇒ EMA ≈ live params. Without: beta ≈ 0.99972 ⇒
+    # the EMA stays ≈ the init, a full Adam step (~lr) away from the params.
+    assert ema_gap(0.05) < 1e-6
+    assert ema_gap(0.0) > 1e-4

@@ -5,7 +5,7 @@ from __future__ import annotations
 import click
 import numpy as np
 
-from viscoin_tpu.cli.utils import device, viscoin_pickle_path
+from viscoin_tpu.cli.utils import DATASET, device, viscoin_pickle_path
 
 
 @click.command()
@@ -21,8 +21,8 @@ from viscoin_tpu.cli.utils import device, viscoin_pickle_path
               help="Indices of the concepts to amplify simultaneously: eg. 1,2,3")
 @click.option("--image-indices", type=str,
               help="Indices of the images to amplify: eg. 1,2,3")
-@click.option("--dataset", default="cub",
-              type=click.Choice(["cub", "funnybirds", "synthetic"]))
+@click.option("--dataset", default="cub", type=DATASET,
+              help="cub | funnybirds | synthetic | an image-folder path")
 def amplify(concept_threshold, concept_top_k, concept_indices, image_indices,
             device, viscoin_pickle_path, dataset):
     """Amplify the concepts of random images from a dataset (showcase)."""

@@ -7,14 +7,14 @@ from __future__ import annotations
 import click
 import numpy as np
 
-from viscoin_tpu.cli.utils import device, viscoin_pickle_path
+from viscoin_tpu.cli.utils import DATASET, device, viscoin_pickle_path
 
 
 @click.command()
 @viscoin_pickle_path
 @device
-@click.option("--dataset", default="cub",
-              type=click.Choice(["cub", "funnybirds", "synthetic"]))
+@click.option("--dataset", default="cub", type=DATASET,
+              help="cub | funnybirds | synthetic | an image-folder path")
 def concept_heatmaps(device, viscoin_pickle_path, dataset):
     """Generate GradCAM heatmaps for random images, for the 5 convolutional
     layers of the concept extractor."""

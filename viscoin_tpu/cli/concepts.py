@@ -8,7 +8,7 @@ import pickle
 
 import click
 
-from viscoin_tpu.cli.utils import batch_size, device, viscoin_pickle_path
+from viscoin_tpu.cli.utils import DATASET, batch_size, device, viscoin_pickle_path
 
 
 @click.command()
@@ -17,12 +17,12 @@ from viscoin_tpu.cli.utils import batch_size, device, viscoin_pickle_path
 @device
 @click.option("--force", is_flag=True,
               help="Recompute the concepts through the dataset, even if cached")
-@click.option("--dataset", default="cub",
-              type=click.Choice(["cub", "funnybirds", "synthetic"]))
+@click.option("--dataset", default="cub", type=DATASET,
+              help="cub | funnybirds | synthetic | an image-folder path")
 def concepts(force, device, viscoin_pickle_path, batch_size, dataset):
     """Analyse the distribution of concepts across the test dataset, and how
     well they separate classes."""
-    from viscoin_tpu.data.utils import DATASET_CLASSES, get_datasets
+    from viscoin_tpu.data.utils import get_datasets
     from viscoin_tpu.data.loader import DataLoader
     from viscoin_tpu.eval.concepts import test_concepts
     from viscoin_tpu.utils.checkpoints import load_viscoin_bundle
@@ -31,7 +31,7 @@ def concepts(force, device, viscoin_pickle_path, batch_size, dataset):
         _, test_ds = get_datasets(dataset)
         loader = DataLoader(test_ds, batch_size=batch_size or 32, shuffle=False)
         models = load_viscoin_bundle(viscoin_pickle_path)
-        results = test_concepts(models, loader, DATASET_CLASSES[dataset])
+        results = test_concepts(models, loader, test_ds.N_CLASSES)
         with open("concept_results.pkl", "wb") as f:
             pickle.dump(results, f)
     else:

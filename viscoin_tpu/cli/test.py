@@ -5,7 +5,7 @@ from __future__ import annotations
 import click
 
 from viscoin_tpu.cli.utils import batch_size, checkpoints, dataset, device
-from viscoin_tpu.data.utils import DATASET_CLASSES, get_dataloaders
+from viscoin_tpu.data.utils import get_dataloaders
 
 
 @click.command()
@@ -27,7 +27,7 @@ def test(model_name, batch_size, device, dataset, checkpoints):
 
     match model_name:
         case "classifier":
-            model = Classifier(output_classes=DATASET_CLASSES[dataset])
+            model = Classifier(output_classes=dataloader.dataset.N_CLASSES)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 

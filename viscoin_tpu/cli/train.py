@@ -24,9 +24,8 @@ from viscoin_tpu.cli.utils import (
     output_weights,
 )
 from viscoin_tpu.data.utils import (
-    DATASET_CLASSES,
-    DEFAULT_CHECKPOINTS,
     DatasetType,
+    default_checkpoints,
     get_dataloaders,
 )
 from viscoin_tpu.utils.logging import configure_score_logging
@@ -54,6 +53,13 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "2-D (data, model) mesh that spatially shards the images' "
                    "H axis through the train step (GSPMD halo exchanges) — "
                    "for scaling past the per-chip batch minimum")
+@click.option("--optimizer", type=click.Choice(["adam", "sgd"]), default=None,
+              help="[classifier] Optimizer (default adam, the reference "
+                   "code's choice; sgd covers the reference README's "
+                   "Stanford-Cars recipe — lr 0.1, StepLR(30, 0.1), 90 "
+                   "epochs — which its hardcoded-Adam code cannot run)")
+@click.option("--momentum", type=float, default=None,
+              help="[classifier] SGD momentum (default 0.9)")
 @click.option("--compute-dtype", type=click.Choice(["bfloat16", "float32"]),
               default="bfloat16", show_default=True,
               help="[classifier/viscoin/gan] Training compute precision: "
@@ -96,6 +102,10 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "`train gan` export or `port_weights.py stylegan` "
                    "output; + <path>.discriminator if present) into a fresh "
                    "run — weights transfer, optimizers/step/ADA start over")
+@click.option("--ema-rampup", type=float, default=None,
+              help="[gan] EMA half-life warmup cap as a fraction of images "
+                   "seen (upstream 'auto' config uses 0.05; default 0 = off, "
+                   "the upstream paper configs' ema_rampup=None)")
 @click.option("--mirror/--no-mirror", default=True, show_default=True,
               help="[gan] Dataset x-flip doubling (upstream --mirror; the "
                    "reference's CUB pickles come from mirrored runs). "
@@ -107,9 +117,10 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "trainer's per-tick fakes grid). 0 disables")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
-          data_parallel, model_parallel, compute_dtype, debug_nans, resume_from,
-          profile_dir, channel_base, channel_max, fid_detector_path,
-          fid_every, fid_samples, init_from, mirror, snapshot_every):
+          data_parallel, model_parallel, optimizer, momentum, compute_dtype,
+          debug_nans, resume_from, profile_dir, channel_base, channel_max,
+          fid_detector_path, fid_every, fid_samples, init_from, ema_rampup,
+          mirror, snapshot_every):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -119,7 +130,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
         case "classifier":
             _train_classifier(dataset, checkpoints, batch_size, learning_rate,
                               epochs, output_weights, data_parallel,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, optimizer=optimizer,
+                              momentum=momentum)
         case "concept2clip":
             _train_concept2clip(latent_type, dataset, epochs, learning_rate,
                                 batch_size, output_weights, data_parallel)
@@ -137,7 +149,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                        fid_detector_path=fid_detector_path,
                        fid_every=fid_every, fid_samples=fid_samples,
                        mirror=mirror, snapshot_every=snapshot_every,
-                       init_from=init_from)
+                       init_from=init_from, ema_rampup=ema_rampup)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
 
@@ -165,18 +177,20 @@ def _build_mesh(data_parallel: bool, model_parallel: int):
 
 def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
                       learning_rate, epochs, output_weights,
-                      data_parallel: bool = True, compute_dtype="bfloat16"):
+                      data_parallel: bool = True, compute_dtype="bfloat16",
+                      optimizer=None, momentum=None):
     from viscoin_tpu.models.resnet import Classifier
     from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
     from viscoin_tpu.utils import checkpoints as ckpt
 
     mesh = _build_mesh(data_parallel, 1)
     params = ClassifierTrainingParams(epochs, learning_rate, batch_size,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      optimizer=optimizer, momentum=momentum)
     configure_score_logging(f"classifier_{params.epochs}.jsonl")
     train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
 
-    model = Classifier(output_classes=DATASET_CLASSES[dataset])
+    model = Classifier(output_classes=train_loader.dataset.N_CLASSES)
     if checkpoints is not None:
         variables = ckpt.restore_pytree(checkpoints)
     else:
@@ -214,7 +228,7 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
     )
     from viscoin_tpu.utils import checkpoints as ckpt
 
-    viscoin = ckpt.load_viscoin_bundle(DEFAULT_CHECKPOINTS[dataset]["viscoin"])
+    viscoin = ckpt.load_viscoin_bundle(default_checkpoints(dataset)["viscoin"])
     params = Concept2ClipTrainingParams(epochs=epochs, learning_rate=learning_rate,
                                         batch_size=batch_size)
     configure_score_logging(f"concept2clip_{params.epochs}.jsonl")
@@ -254,7 +268,8 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
                seed=0, model_parallel=1, compute_dtype="bfloat16",
                fid_detector_path=None, fid_every=0, fid_samples=8192,
-               mirror=True, snapshot_every=0, init_from=None):
+               mirror=True, snapshot_every=0, init_from=None,
+               ema_rampup=None):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -287,7 +302,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     # (IgnoreNone), like every other train subcommand.
     cfg = GANTrainingParams(iterations=epochs, learning_rate=learning_rate,
                             batch_size=batch_size, compute_dtype=compute_dtype,
-                            mirror=mirror)
+                            mirror=mirror, ema_rampup=ema_rampup)
     world = jax.process_count()
     if world > 1:
         # Multi-host: each process loads its shard of every global batch
@@ -396,7 +411,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     state_path = f"{output_weights}.train_state"
     resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
                    "augment": cfg.augment, "compute_dtype": cfg.compute_dtype,
-                   "mirror": cfg.mirror}
+                   "mirror": cfg.mirror, "ema_rampup": cfg.ema_rampup}
     if resume_from:
         state = ckpt.restore_gan_train_state(state, resume_from,
                                              expect_meta=resume_meta)
@@ -522,7 +537,6 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     mesh = _build_mesh(data_parallel, model_parallel)
 
-    n_classes = DATASET_CLASSES[dataset]
     params = VisCoINTrainingParams(
         learning_rate=learning_rate, iterations=epochs, batch_size=batch_size,
         gradient_accumulation=gradient_accumulation_steps,
@@ -530,6 +544,7 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     )
     configure_score_logging(f"viscoin_{params.iterations}.jsonl")
     train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
+    n_classes = train_loader.dataset.N_CLASSES
     size = train_loader.dataset.out_size
 
     models = default_models(n_classes=n_classes, img_resolution=size,
@@ -537,9 +552,10 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     models = init_models(models, jax.random.PRNGKey(0), image_size=size)
 
     # Frozen pretrained pieces: classifier + original GAN (reference loads
-    # torch pickles from DEFAULT_CHECKPOINTS; here orbax checkpoints).
-    cls_path = DEFAULT_CHECKPOINTS[dataset]["classifier"]
-    gan_path = DEFAULT_CHECKPOINTS[dataset]["gan"]
+    # torch pickles from its DEFAULT_CHECKPOINTS conventions; here orbax
+    # checkpoints, with path datasets keyed by their basename).
+    cls_path = default_checkpoints(dataset)["classifier"]
+    gan_path = default_checkpoints(dataset)["gan"]
     generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
                           channel_base=16384, mapping_layers=2)
     import os

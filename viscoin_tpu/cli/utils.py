@@ -58,6 +58,32 @@ def concept2clip_pickle_path(func):
                         required=False, type=str)(func)
 
 
+class DatasetParam(click.ParamType):
+    """A registry dataset name OR a directory path to a generic
+    ``{root}/{train|test}/{class}/{image}`` image-folder dataset (covers the
+    CelebA-HQ / Stanford-Cars recipes the reference README documents but its
+    registry cannot load, and any custom dataset)."""
+
+    name = "dataset"
+
+    def convert(self, value, param, ctx):
+        import os
+
+        from viscoin_tpu.data.utils import DATASET_NAMES
+
+        if value in DATASET_NAMES or os.path.isdir(value):
+            return value
+        self.fail(
+            f"{value!r} is neither a known dataset "
+            f"({', '.join(sorted(DATASET_NAMES))}) nor a directory path "
+            "(image-folder layout: {root}/{train|test}/{class}/{image})",
+            param, ctx)
+
+
+DATASET = DatasetParam()
+
+
 def dataset(func):
-    return click.option("--dataset", help="The dataset to use", default="cub",
-                        type=click.Choice(["cub", "funnybirds", "synthetic"]))(func)
+    return click.option("--dataset", default="cub", type=DATASET,
+                        help="The dataset to use: cub | funnybirds | synthetic "
+                             "| a directory path (image-folder layout)")(func)

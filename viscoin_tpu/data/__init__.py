@@ -3,6 +3,7 @@
 from viscoin_tpu.data.datasets import (
     CUB_200_2011,
     FunnyBirds,
+    ImageFolderDataset,
     LabeledCUB,
     SyntheticDataset,
     export_funnybirds_stylegan_zip,
@@ -11,15 +12,18 @@ from viscoin_tpu.data.loader import DataLoader, loop_iter
 from viscoin_tpu.data.transforms import device_preprocess, denormalize
 from viscoin_tpu.data.utils import (
     DATASET_CLASSES,
+    DATASET_NAMES,
     DEFAULT_CHECKPOINTS,
     DEFAULT_VISCOIN,
+    default_checkpoints,
     get_dataloaders,
     get_datasets,
 )
 
 __all__ = [
-    "CUB_200_2011", "FunnyBirds", "LabeledCUB", "SyntheticDataset",
-    "export_funnybirds_stylegan_zip", "DataLoader", "loop_iter",
-    "device_preprocess", "denormalize", "DATASET_CLASSES",
-    "DEFAULT_CHECKPOINTS", "DEFAULT_VISCOIN", "get_dataloaders", "get_datasets",
+    "CUB_200_2011", "FunnyBirds", "ImageFolderDataset", "LabeledCUB",
+    "SyntheticDataset", "export_funnybirds_stylegan_zip", "DataLoader",
+    "loop_iter", "device_preprocess", "denormalize", "DATASET_CLASSES",
+    "DATASET_NAMES", "DEFAULT_CHECKPOINTS", "DEFAULT_VISCOIN",
+    "default_checkpoints", "get_dataloaders", "get_datasets",
 ]

@@ -279,6 +279,75 @@ def export_funnybirds_stylegan_zip(root: str | None = None,
     print(f"Dataset saved as {out_path}")
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+class ImageFolderDataset(ImageDataset):
+    """Generic folder-per-class dataset: ``{root}/{train|test}/{class}/{img}``
+    (the torchvision-ImageFolder layout).
+
+    New capability: the reference README publishes classifier recipes for
+    CelebA-HQ and Stanford-Cars (reference README.md:199-203) but its loader
+    registry only knows cub/funnybirds (reference viscoin/datasets/utils.py:
+    25-31) — this class makes any such dataset loadable by pointing
+    ``--dataset`` at its root directory. Class names are directory names;
+    labels are indices into the sorted union of train+test class dirs (so
+    both splits agree even if one is missing a class)."""
+
+    def __init__(self, mode: Mode = "train", transform: Mode | None = None,
+                 root: str | None = None, out_size: int | None = None, **kw):
+        super().__init__(mode, transform, **kw)
+        if root is None:
+            raise ValueError("ImageFolderDataset requires root= (the directory "
+                             "holding train/ and test/ class folders)")
+        self.dataset_path = root
+        folder = os.path.join(root, mode)
+        if not os.path.isdir(folder):
+            raise FileNotFoundError(
+                f"image-folder dataset: {folder} not found (expected layout "
+                "{root}/{train|test}/{class}/{image})")
+        # Stable label space across splits: sorted union of class dirs.
+        names = set()
+        for split in ("train", "test"):
+            d = os.path.join(root, split)
+            if os.path.isdir(d):
+                names.update(c for c in os.listdir(d)
+                             if os.path.isdir(os.path.join(d, c)))
+        self.class_names: list[str] = sorted(names)
+        self.class_to_idx = {c: i for i, c in enumerate(self.class_names)}
+        self.N_CLASSES = len(self.class_names)
+        if out_size is None:
+            out_size = int(os.environ.get("VISCOIN_IMAGEFOLDER_SIZE", 256))
+        self.out_size = out_size
+
+        self.image_paths: list[str] = []
+        self.labels: list[int] = []
+        for cls in self.class_names:
+            sub = os.path.join(folder, cls)
+            if not os.path.isdir(sub):
+                continue
+            for name in sorted(os.listdir(sub)):
+                if name.lower().endswith(_IMAGE_EXTS):
+                    self.image_paths.append(os.path.join(cls, name))
+                    self.labels.append(self.class_to_idx[cls])
+        if not self.image_paths:
+            raise FileNotFoundError(f"no images under {folder} "
+                                    f"(extensions: {', '.join(_IMAGE_EXTS)})")
+
+    def __len__(self):
+        return len(self.labels)
+
+    def _label(self, index: int) -> int:
+        return self.labels[index]
+
+    def _load_raw(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.dataset_path, self.mode,
+                                      self.image_paths[index]))
+        return np.asarray(img.convert("RGB"), np.uint8)
+
+
 class SyntheticDataset(ImageDataset):
     """Deterministic random images — CI/bench stand-in when no dataset is on
     disk (the reference has no offline story at all; tests need one)."""

@@ -2,11 +2,21 @@
 
 from __future__ import annotations
 
+import os
 from typing import Literal
 
-from viscoin_tpu.data.datasets import CUB_200_2011, FunnyBirds, SyntheticDataset
+from viscoin_tpu.data.datasets import (
+    CUB_200_2011,
+    FunnyBirds,
+    ImageFolderDataset,
+    SyntheticDataset,
+)
 from viscoin_tpu.data.loader import DataLoader
 
+# Registry names — plus any DIRECTORY PATH, which loads as a generic
+# folder-per-class dataset (ImageFolderDataset): the reference README
+# publishes recipes for CelebA-HQ / Stanford-Cars that its own registry
+# cannot load (reference README.md:199-203 vs viscoin/datasets/utils.py:25).
 DatasetType = Literal["cub", "funnybirds", "synthetic"]
 
 DATASET_CLASSES = {
@@ -31,18 +41,57 @@ DEFAULT_VISCOIN = DEFAULT_CHECKPOINTS["cub"]["viscoin"]
 
 _CLASSES = {"cub": CUB_200_2011, "funnybirds": FunnyBirds, "synthetic": SyntheticDataset}
 
+DATASET_NAMES = tuple(_CLASSES)  # registry names (paths are also accepted)
 
-def get_datasets(name: DatasetType, transform: Literal["train", "test"] | None = None,
+
+def dataset_key(name: str) -> str:
+    """Short name for checkpoint/log path conventions: the registry name, or
+    the basename of an image-folder root path."""
+    if name in _CLASSES:
+        return name
+    return os.path.basename(os.path.normpath(name))
+
+
+def default_checkpoints(name: str) -> dict[str, str]:
+    """DEFAULT_CHECKPOINTS row for a registry name OR an image-folder path
+    (path datasets get ``checkpoints/{basename}/...`` conventions)."""
+    key = dataset_key(name)
+    if key in DEFAULT_CHECKPOINTS:
+        return DEFAULT_CHECKPOINTS[key]
+    return {
+        kind: f"checkpoints/{key}/{pref}-{key}"
+        for kind, pref in (("classifier", "classifier"), ("gan", "gan"),
+                           ("gan_adapted", "gan-adapted"),
+                           ("viscoin", "viscoin"))
+    }
+
+
+def get_datasets(name: str, transform: Literal["train", "test"] | None = None,
                  **kwargs):
     """Train/test dataset pair. ``transform`` overrides the per-split default
-    (reference semantics: None → train tf on train split, test tf on test)."""
-    cls = _CLASSES[name]
-    train = cls(mode="train", transform=transform, **kwargs)
-    test = cls(mode="test", transform=transform, **kwargs)
-    return train, test
+    (reference semantics: None → train tf on train split, test tf on test).
+
+    ``name`` is a registry name ("cub", "funnybirds", "synthetic") or a
+    directory path to a ``{root}/{train|test}/{class}/{image}`` layout
+    (generic image-folder dataset — class count discovered from the
+    folders)."""
+    if name in _CLASSES:
+        cls = _CLASSES[name]
+        train = cls(mode="train", transform=transform, **kwargs)
+        test = cls(mode="test", transform=transform, **kwargs)
+        return train, test
+    if os.path.isdir(name):
+        train = ImageFolderDataset(mode="train", transform=transform,
+                                   root=name, **kwargs)
+        test = ImageFolderDataset(mode="test", transform=transform,
+                                  root=name, **kwargs)
+        return train, test
+    raise ValueError(
+        f"unknown dataset {name!r}: expected one of {sorted(_CLASSES)} or a "
+        "directory path with a {root}/{train|test}/{class}/{image} layout")
 
 
-def get_dataloaders(name: DatasetType, batch_size: int,
+def get_dataloaders(name: str, batch_size: int,
                     transform: Literal["train", "test"] | None = None,
                     shuffle: bool = True, **kwargs):
     train, test = get_datasets(name, transform, **kwargs)

@@ -33,6 +33,12 @@ class ClassifierTrainingParams(IgnoreNone):
     epochs: int = 90
     learning_rate: float = 0.001
     batch_size: int = 32
+    # "adam" (reference code, training/classifiers.py:55) or "sgd": the
+    # reference README documents an SGD recipe (lr 0.1, ×0.1 every 30 epochs,
+    # 90 epochs — Stanford-Cars, README.md:203) that its hardcoded-Adam code
+    # cannot run; both ride the same StepLR(30, 0.1) schedule.
+    optimizer: str = "adam"
+    momentum: float = 0.9  # SGD only (the standard ResNet fine-tune setting)
     # Mixed precision: params/images cast to ``compute_dtype`` inside the
     # loss (bf16 convs on the MXU), fp32 Adam masters, fp32 loss/accuracy
     # reductions. BatchNorm is safe under the cast: flax computes batch
@@ -138,7 +144,12 @@ def train_classifier(classifier, variables, train_loader, test_loader,
         params.learning_rate,
         {30 * steps_per_epoch: 0.1, 60 * steps_per_epoch: 0.1},
     )
-    tx = optax.adam(schedule)
+    if params.optimizer == "adam":
+        tx = optax.adam(schedule)
+    elif params.optimizer == "sgd":
+        tx = optax.sgd(schedule, momentum=params.momentum)
+    else:
+        raise ValueError(f"optimizer={params.optimizer!r}: expected adam|sgd")
     state = ClassifierState(
         params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
                                       variables["params"]),

@@ -55,6 +55,11 @@ class GANTrainingParams(IgnoreNone):
     ppl_decay: float = 0.01  # EMA decay of the path-length target
     w_avg_beta: float = 0.995
     ema_kimg: float = 10.0  # generator weight EMA half-life (thousand imgs)
+    # EMA warmup (upstream train.py 'auto' config: ema_rampup=0.05): caps the
+    # EMA half-life at rampup·(images seen so far), so early EMA weights track
+    # the live weights instead of the random init. 0 disables (the upstream
+    # paper configs' ema_rampup=None).
+    ema_rampup: float = 0.0
     batch_size: int = 16
 
     # ADA (upstream stylegan2-ada-pytorch's namesake): "ada" = adaptive
@@ -447,8 +452,16 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
 
         # w_avg tracking (reference w_avg_beta=0.995): lerp(batch mean, w_avg).
         w_avg = ws_mean * (1 - cfg.w_avg_beta) + state.w_avg * cfg.w_avg_beta
-        # Generator weight EMA over `ema_kimg` thousand images.
-        ema_beta = 0.5 ** (B / max(cfg.ema_kimg * 1000.0, 1e-8))
+        # Generator weight EMA over `ema_kimg` thousand images; with
+        # ema_rampup the half-life is capped at rampup·nimg (upstream
+        # training_loop.py ema semantics), so beta is traced but the
+        # adaptation never recompiles.
+        ema_nimg = cfg.ema_kimg * 1000.0
+        if cfg.ema_rampup > 0:
+            cur_nimg = (state.step.astype(jnp.float32) + 1.0) * B
+            ema_nimg = jnp.minimum(ema_nimg, cur_nimg * cfg.ema_rampup)
+        ema_beta = 0.5 ** (B / jnp.maximum(
+            jnp.asarray(ema_nimg, jnp.float32), 1e-8))
         g_ema = jax.tree_util.tree_map(
             lambda e, p: e * ema_beta + p * (1 - ema_beta),
             state.g_ema_params, g_params)
