@@ -462,3 +462,29 @@ def test_gan_ema_rampup(rng):
     # the EMA stays ≈ the init, a full Adam step (~lr) away from the params.
     assert ema_gap(0.05) < 1e-6
     assert ema_gap(0.0) > 1e-4
+
+
+def test_gan_d_phase_style_mixing_live(rng):
+    """The D phase generates its fakes through the SAME style-mixing pipe as
+    the G phase (upstream run_G mixes in both Gmain and Dmain). Isolate the
+    D phase with lr=0: G params cannot change, so d_loss is sensitive to
+    mixing ONLY through the D-phase fake generation."""
+    generator, discriminator = _tiny_gan()
+    images = jnp.asarray(rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8))
+
+    def d_loss(prob):
+        cfg = GANTrainingParams(batch_size=4, learning_rate=0.0,
+                                style_mixing_prob=prob, augment="none",
+                                r1_interval=3, ppl_interval=3)  # step 1: both off
+        state, g_noise = create_gan_train_state(generator, discriminator,
+                                                jax.random.PRNGKey(0), cfg, IMG)
+        state = state.replace(step=jnp.ones((), jnp.int32))
+        step = make_gan_train_step(generator, discriminator, cfg)
+        _, m = step(state, g_noise, images, jax.random.PRNGKey(7))
+        return float(m["d_loss"])
+
+    mixed, unmixed = d_loss(1.0), d_loss(0.0)
+    assert np.isfinite(mixed) and np.isfinite(unmixed)
+    # Same params, same keys — the only difference is the D-phase mixing.
+    assert mixed != unmixed
+    assert d_loss(1.0) == mixed  # deterministic in the key

@@ -317,15 +317,19 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
             images = augment_pipe(images, aug_p, k_aug)
         return discriminator.apply({"params": d_params}, images)
 
+    def mixed_ws(g_params, g_extras, z, z_mix, cutoff):
+        """Style mixing (upstream run_G): layers >= cutoff take styles from a
+        second latent (scalar cutoff per call; cutoff == num_ws disables).
+        Returns (mixed ws, unmixed ws of the first latent)."""
+        ws = map_ws(g_params, g_extras, z)
+        ws_mix = map_ws(g_params, g_extras, z_mix)
+        layer = jnp.arange(ws.shape[1])[None, :, None]
+        return jnp.where(layer >= cutoff, ws_mix, ws), ws
+
     def g_loss_fn(g_params, g_extras, d_params, z, z_mix, cutoff, k_noise,
                   aug_p, k_aug):
         g_params, d_params = cast(g_params), cast(d_params)
-        ws = map_ws(g_params, g_extras, z)
-        # Style mixing: layers >= cutoff take styles from a second latent
-        # (scalar cutoff per step; cutoff == num_ws means no mixing).
-        ws_mix = map_ws(g_params, g_extras, z_mix)
-        layer = jnp.arange(ws.shape[1])[None, :, None]
-        ws_used = jnp.where(layer >= cutoff, ws_mix, ws)
+        ws_used, ws = mixed_ws(g_params, g_extras, z, z_mix, cutoff)
         fake = synth(g_params, g_extras, ws_used, k_noise)
         logits = run_d(d_params, fake, aug_p, k_aug).astype(f32)
         # non-saturating G loss; aux: batch-mean mapping output for w_avg
@@ -355,11 +359,14 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         scaled = penalty * cfg.ppl_weight * cfg.ppl_interval
         return scaled, (jnp.mean(pl_lengths), new_pl_mean)
 
-    def d_loss_fn(d_params, g_params, g_extras, real, z, k_noise, do_r1,
-                  aug_p, k_aug_f, k_aug_r):
+    def d_loss_fn(d_params, g_params, g_extras, real, z, z_mix, cutoff,
+                  k_noise, do_r1, aug_p, k_aug_f, k_aug_r):
         d_params, g_params = cast(d_params), cast(g_params)
-        ws = map_ws(g_params, g_extras, z)
-        fake = synth(g_params, g_extras, ws, k_noise)
+        # Upstream run_G applies style mixing in the Dmain phase too — the
+        # discriminator trains against the same mixed fake distribution the
+        # generator is optimized on (stylegan2-ada loss.py run_G).
+        ws_used, _ = mixed_ws(g_params, g_extras, z, z_mix, cutoff)
+        fake = synth(g_params, g_extras, ws_used, k_noise)
         fake_logits = run_d(d_params, fake, aug_p, k_aug_f).astype(f32)
         real_logits = run_d(d_params, real, aug_p, k_aug_r).astype(f32)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
@@ -381,9 +388,14 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         # aux r_t: the ADA overfitting signal E[sign(D(real))].
         return loss, (r1, jnp.mean(jnp.sign(real_logits)))
 
+    def draw_cutoff(k_mix, k_cut):
+        """Fresh mixing decision per run_G call (upstream semantics)."""
+        mix = jax.random.bernoulli(k_mix, cfg.style_mixing_prob)
+        return jnp.where(mix, jax.random.randint(k_cut, (), 1, num_ws), num_ws)
+
     def step(state: GANTrainState, g_extras, images_u8, rng):
-        (k_flip, kz1, kz1m, kz2, kzp, kn1, kn2, knp, kmix, kcut,
-         kpl, ka_g, ka_df, ka_dr) = jax.random.split(rng, 14)
+        (k_flip, kz1, kz1m, kz2, kz2m, kzp, kn1, kn2, knp, kmix, kcut,
+         kmix2, kcut2, kpl, ka_g, ka_df, ka_dr) = jax.random.split(rng, 17)
         if preprocess:
             # GANs train on [-1, 1] images
             x = images_u8.astype(jnp.float32) / 127.5 - 1.0
@@ -402,8 +414,7 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         # G main step (with style mixing).
         z = jax.random.normal(kz1, (B, generator.z_dim), dt)
         z_mix = jax.random.normal(kz1m, (B, generator.z_dim), dt)
-        mix = jax.random.bernoulli(kmix, cfg.style_mixing_prob)
-        cutoff = jnp.where(mix, jax.random.randint(kcut, (), 1, num_ws), num_ws)
+        cutoff = draw_cutoff(kmix, kcut)
         (g_loss, ws_mean), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, g_extras_c, state.d_params, z, z_mix, cutoff, kn1,
             aug_p, ka_g)
@@ -429,13 +440,15 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
-        # D step with lazy R1.
+        # D step with lazy R1 (fakes style-mixed like the G phase).
         z = jax.random.normal(kz2, (B, generator.z_dim), dt)
+        z2_mix = jax.random.normal(kz2m, (B, generator.z_dim), dt)
+        cutoff2 = draw_cutoff(kmix2, kcut2)
         do_r1 = state.step % cfg.r1_interval == 0
         (d_loss, (r1, rt_batch)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(
-            state.d_params, g_params, g_extras_c, x, z, kn2, do_r1,
-            aug_p, ka_df, ka_dr)
+            state.d_params, g_params, g_extras_c, x, z, z2_mix, cutoff2, kn2,
+            do_r1, aug_p, ka_df, ka_dr)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
