@@ -13,6 +13,18 @@ Usage (requires torch, CPU is enough):
 pickle: the pickle is parsed with a shimmed `torch_utils.persistence` module
 (the NVlabs format embeds its source; we only extract the raw tensors), so
 the submodule is NOT needed.
+
+Reverse direction (TPU-trained → reference ecosystem, utils/exporting.py):
+
+    python scripts/port_weights.py export-viscoin  checkpoints/cub/viscoin-cub viscoin.pth
+    python scripts/port_weights.py export-stylegan checkpoints/cub/gan-cub     gan_state_dict.pth
+
+`export-viscoin` writes the exact joint dict the reference's ``load_viscoin``
+reads (models/utils.py:195-208); `export-stylegan` writes an NVlabs-naming
+Generator state_dict (``Generator(...).load_state_dict(sd)`` against
+stylegan2-ada-pytorch), plus ``<dst>.discriminator`` when a ported/trained
+discriminator sits next to the source checkpoint. NVlabs constant buffers
+(resample_filter) are reconstructed so strict loads succeed.
 """
 
 import os
@@ -156,12 +168,21 @@ def load_nvlabs_pickle(path: str):
     return result
 
 
+def _to_torch(sd: dict):
+    import numpy as np
+    import torch
+
+    return {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
+
+
 def main():
     from viscoin_tpu.utils import porting
     from viscoin_tpu.utils.checkpoints import save_pytree
 
     kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
-    obj = load_torch_file(src) if kind != "stylegan" else None
+    # export-* sources are orbax checkpoints, stylegan parses its own pickle
+    obj = (load_torch_file(src)
+           if kind != "stylegan" and not kind.startswith("export-") else None)
 
     if kind == "classifier":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
@@ -211,6 +232,34 @@ def main():
         out = porting.convert_torch_inception(porting.state_dict_to_numpy(sd))
     elif kind == "inception-nvlabs":
         out = port_inception_nvlabs(src, dst)
+        return
+    elif kind == "export-viscoin":
+        import torch
+
+        from viscoin_tpu.utils import exporting
+        from viscoin_tpu.utils.checkpoints import load_viscoin_bundle
+
+        joint = exporting.export_viscoin_torch(load_viscoin_bundle(src))
+        torch.save({m: _to_torch(sd) for m, sd in joint.items()}, dst)
+        print(f"exported viscoin joint state_dict (load_viscoin format): "
+              f"{src} -> {dst}")
+        return
+    elif kind == "export-stylegan":
+        import torch
+
+        from viscoin_tpu.utils import exporting
+        from viscoin_tpu.utils.checkpoints import restore_pytree
+
+        sd = exporting.export_generator_torch(restore_pytree(src))
+        torch.save(_to_torch(sd), dst)
+        d_src = f"{src}.discriminator"
+        if os.path.exists(d_src):
+            d_sd = exporting.export_discriminator_torch(restore_pytree(d_src))
+            torch.save(_to_torch(d_sd), f"{dst}.discriminator")
+            print(f"exported stylegan discriminator: {d_src} -> "
+                  f"{dst}.discriminator")
+        print(f"exported stylegan generator state_dict (NVlabs naming): "
+              f"{src} -> {dst}")
         return
     else:
         raise SystemExit(f"unknown kind: {kind}")
