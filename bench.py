@@ -37,7 +37,7 @@ BASELINE_IMG_PER_SEC = 128.0  # estimated reference A100 throughput (BASELINE.md
 
 
 def build(batch: int, compute_dtype: str = "bfloat16", mesh=None,
-          remat: str = ""):
+          remat: str = "", fold_lpips: bool = False):
     """Flagship-config step + sampler + state. With ``mesh``: mesh-sharded
     jits and replicated state/frozen — run_multichip measures EXACTLY the
     single-chip model (one config source, not a copy)."""
@@ -62,7 +62,7 @@ def build(batch: int, compute_dtype: str = "bfloat16", mesh=None,
     gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
         {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)), noise_mode="const"
     )
-    lpips = LPIPS()
+    lpips = LPIPS(fold_block12=fold_lpips)
     lparams = jax.jit(lpips.init)(
         jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3))
     )["params"]
@@ -84,12 +84,13 @@ def build(batch: int, compute_dtype: str = "bfloat16", mesh=None,
 
 
 def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16",
-        remat: str = "") -> dict:
+        remat: str = "", fold_lpips: bool = False) -> dict:
     """Times the PRODUCTION iteration: the K-step frozen-GAN presampling
     (VisCoINTrainingParams.fake_presample_steps) runs inside the timed loop,
     amortized exactly as the train loop amortizes it."""
     step, sample_fakes, state, frozen, cfg = build(batch, compute_dtype,
-                                                   remat=remat)
+                                                   remat=remat,
+                                                   fold_lpips=fold_lpips)
     from viscoin_tpu.train.viscoin import fake_sample_keys
     K = max(1, cfg.fake_presample_steps)
     rng = np.random.default_rng(0)
@@ -133,6 +134,8 @@ def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16",
     }
     if remat:
         out["remat"] = remat
+    if fold_lpips:
+        out["fold_lpips"] = True
     return out
 
 
@@ -222,6 +225,10 @@ def fallback_ladder(batch: int) -> list[int]:
 
 def main():
     args = sys.argv[1:]
+    fold_lpips = False
+    if "--fold-lpips" in args:
+        fold_lpips = True
+        args.remove("--fold-lpips")
     remat = ""
     if "--remat" in args:
         i = args.index("--remat")
@@ -233,7 +240,7 @@ def main():
     result = None
     for b in fallback_ladder(batch):
         try:
-            result = run(b, remat=remat)
+            result = run(b, remat=remat, fold_lpips=fold_lpips)
             break
         except Exception as e:  # OOM fallback
             print(f"# batch {b} failed: {type(e).__name__}: {str(e)[:200]}",

@@ -112,3 +112,49 @@ def test_lpips_differentiable(rng):
     g = jax.grad(lambda a: jnp.sum(model.apply(v, a, y)))(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_lpips_fold_block12_exact():
+    """Space-to-batch folding of the VGG block-1/2 prefix (overlap-save halo
+    accounting, ops/space_to_batch.py) is numerically equivalent for values
+    AND input gradients — same params, same distance."""
+    import jax
+    import jax.numpy as jnp
+
+    from viscoin_tpu.models.lpips import LPIPS
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    base = LPIPS()
+    folded = LPIPS(fold_block12=True)
+    params = base.init(jax.random.PRNGKey(0), x, y)["params"]
+
+    d0, g0 = jax.value_and_grad(
+        lambda x: jnp.sum(base.apply({"params": params}, x, y)))(x)
+    d1, g1 = jax.value_and_grad(
+        lambda x: jnp.sum(folded.apply({"params": params}, x, y)))(x)
+    np.testing.assert_allclose(float(d1), float(d0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fold_unfold_h_roundtrip_and_halo():
+    """fold_h/unfold_h invert each other, and the halo rows carry the true
+    neighbor data (overlap-save): the bottom tile's first halo row equals the
+    image row h/2 - halo."""
+    import jax.numpy as jnp
+
+    from viscoin_tpu.ops.space_to_batch import fold_h, unfold_h
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, 32, 8, 2)), jnp.float32)
+    f = fold_h(x, 4)
+    assert f.shape == (6, 24, 8, 2)
+    np.testing.assert_array_equal(np.asarray(unfold_h(f, 4)), np.asarray(x))
+    # top tile's outer halo is zero padding (SAME semantics) ...
+    assert np.all(np.asarray(f[:3, :4]) == 0)
+    # ... and the interior halos are real overlap
+    np.testing.assert_array_equal(np.asarray(f[3:, :4]),
+                                  np.asarray(x[:, 12:16]))

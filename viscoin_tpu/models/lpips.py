@@ -69,13 +69,51 @@ class VGG16Features(nn.Module):
     full-lane convs save. Kept as tested infrastructure."""
 
     paired_block1: bool = False
+    # Space-to-batch the 64/128-channel block-1/2 prefix (ops/space_to_batch):
+    # each image's H axis folds into two halo-8 overlapped halves, so the
+    # lane-starved sub-128-batch convs (and their input-VJPs in the LPIPS
+    # backward) run at conv-batch 2B on full lanes. Exact (overlap-save;
+    # tested) and param-structure-preserving. Unlike paired_block1 this moves
+    # a MAJOR dim — no lane-dim relayouts.
+    fold_block12: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, ...]:
         outs = []
         conv_idx = 0
         paired = self.paired_block1 and x.shape[2] % 2 == 0
+        fold = (self.fold_block12 and not paired and x.shape[1] % 16 == 0)
+        if fold:
+            from viscoin_tpu.ops.space_to_batch import (
+                fold_h,
+                outer_halo_mask,
+                unfold_h,
+            )
+
+            # Halo accounting (see ops/space_to_batch.py): 8 rows at the 256²
+            # scale keep every core row ahead of SAME-conv interior-edge
+            # corruption (block 1: 2 rows) and stay pool-aligned (8 → 4 after
+            # pool1; block 2 corruption reaches 3 < 4). The outer halo is
+            # re-zeroed after every conv so edge rows keep seeing the SAME
+            # zero padding of the unfolded computation.
+            HALO = 8
+            xf = fold_h(x, HALO)
         for slice_idx, channels in enumerate(_SLICES):
+            if fold and slice_idx < 2:
+                halo_s = HALO if slice_idx == 0 else HALO // 2
+                for ch in channels:
+                    xf = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+                                 name=f"conv{conv_idx}")(xf)
+                    xf = nn.relu(xf) * outer_halo_mask(
+                        xf.shape[0], xf.shape[1], halo_s, xf.dtype)
+                    conv_idx += 1
+                if slice_idx == 0:
+                    outs.append(unfold_h(xf, HALO))
+                    xf = nn.max_pool(xf, (2, 2), strides=(2, 2))
+                else:
+                    x = unfold_h(xf, HALO // 2)
+                    outs.append(x)
+                continue
             if slice_idx == 0 and paired:
                 b, h, w, c = x.shape
                 k0, b0 = _Conv3x3Params(channels[0], name="conv0")(c)
@@ -108,11 +146,13 @@ def _unit_normalize(x: jax.Array, eps: float = 1e-10) -> jax.Array:
 class LPIPS(nn.Module):
     """Learned perceptual distance: __call__(x, y) -> (B,) distances."""
 
+    fold_block12: bool = False
+
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
         shift = jnp.asarray(_SHIFT, x.dtype)
         scale = jnp.asarray(_SCALE, x.dtype)
-        net = VGG16Features(name="vgg")
+        net = VGG16Features(name="vgg", fold_block12=self.fold_block12)
         # Two separate applies on purpose: the `y` branch is a constant in the
         # training loss (no gradient path), so keeping it a distinct subgraph
         # lets autodiff skip its entire VGG backward. A single concatenated
