@@ -16,8 +16,10 @@ the submodule is NOT needed.
 
 Reverse direction (TPU-trained → reference ecosystem, utils/exporting.py):
 
-    python scripts/port_weights.py export-viscoin  checkpoints/cub/viscoin-cub viscoin.pth
-    python scripts/port_weights.py export-stylegan checkpoints/cub/gan-cub     gan_state_dict.pth
+    python scripts/port_weights.py export-viscoin      checkpoints/cub/viscoin-cub viscoin.pth
+    python scripts/port_weights.py export-stylegan     checkpoints/cub/gan-cub     gan_state_dict.pth
+    python scripts/port_weights.py export-classifier   checkpoints/cub/classifier  classifier.pth
+    python scripts/port_weights.py export-concept2clip checkpoints/cub/concept2clip concept2clip.pth
 
 `export-viscoin` writes the exact joint dict the reference's ``load_viscoin``
 reads (models/utils.py:195-208); `export-stylegan` writes an NVlabs-naming
@@ -243,6 +245,28 @@ def main():
         torch.save({m: _to_torch(sd) for m, sd in joint.items()}, dst)
         print(f"exported viscoin joint state_dict (load_viscoin format): "
               f"{src} -> {dst}")
+        return
+    elif kind == "export-classifier":
+        import torch
+
+        from viscoin_tpu.utils import exporting
+        from viscoin_tpu.utils.checkpoints import restore_pytree
+
+        sd = exporting.export_classifier_torch(restore_pytree(src))
+        torch.save(_to_torch(sd), dst)
+        print(f"exported classifier state_dict (reference Classifier "
+              f"naming): {src} -> {dst}")
+        return
+    elif kind == "export-concept2clip":
+        import torch
+
+        from viscoin_tpu.utils import exporting
+        from viscoin_tpu.utils.checkpoints import restore_pytree
+
+        sd = exporting.export_concept2clip_torch(restore_pytree(src))
+        torch.save(_to_torch(sd), dst)
+        print(f"exported concept2clip state_dict (reference nn.Sequential "
+              f"naming): {src} -> {dst}")
         return
     elif kind == "export-stylegan":
         import torch

@@ -262,3 +262,40 @@ def test_port_weights_export_stylegan_script(tmp_path, monkeypatch):
     d_back = po.convert_torch_discriminator(po.state_dict_to_numpy(d_sd),
                                             img_resolution=IMG)
     assert_trees_equal(d_back, jax.tree_util.tree_map(np.asarray, d_params))
+
+
+def test_port_weights_export_classifier_and_concept2clip_script(tmp_path,
+                                                                monkeypatch):
+    torch = pytest.importorskip("torch")
+    import sys
+
+    from viscoin_tpu.models.concept2clip import Concept2CLIP
+    from viscoin_tpu.models.resnet import Classifier
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cls = Classifier(output_classes=5, embedding_size=8,
+                     hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1))
+    cls_vars = cls.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        train=False)
+    c2c = Concept2CLIP(n_concepts=8, clip_dim=12)
+    c2c_params = c2c.init(jax.random.PRNGKey(1), jnp.zeros((1, 72)))["params"]
+
+    sys.path.insert(0, "scripts")
+    import port_weights
+
+    for kind, variables, conv in (
+        ("export-classifier", cls_vars,
+         lambda sd: po.convert_torch_classifier(po.state_dict_to_numpy(sd))),
+        ("export-concept2clip", c2c_params,
+         lambda sd: po.convert_torch_concept2clip(po.state_dict_to_numpy(sd))),
+    ):
+        src = str(tmp_path / kind)
+        save_pytree(variables, src)
+        dst = str(tmp_path / f"{kind}.pth")
+        monkeypatch.setattr(sys, "argv", ["port_weights.py", kind, src, dst])
+        port_weights.main()
+        sd = torch.load(dst, map_location="cpu", weights_only=True)
+        want = (variables if kind == "export-concept2clip"
+                else {"params": variables["params"],
+                      "batch_stats": variables["batch_stats"]})
+        assert_trees_equal(conv(sd), jax.tree_util.tree_map(np.asarray, want))
