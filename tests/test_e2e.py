@@ -362,5 +362,5 @@ def test_train_classifier_sgd(tmp_path):
                for leaf in jax.tree_util.tree_leaves(best))
 
     bad = ClassifierTrainingParams(epochs=1, batch_size=8, optimizer="rmsprop")
-    with pytest.raises(ValueError, match="expected adam|sgd"):
+    with pytest.raises(ValueError, match=r"expected adam\|sgd"):
         train_classifier(model, variables, train_loader, test_loader, bad)

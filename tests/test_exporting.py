@@ -299,3 +299,25 @@ def test_port_weights_export_classifier_and_concept2clip_script(tmp_path,
                 else {"params": variables["params"],
                       "batch_stats": variables["batch_stats"]})
         assert_trees_equal(conv(sd), jax.tree_util.tree_map(np.asarray, want))
+
+
+def test_converters_infer_resolution_and_mapping_depth():
+    """convert_torch_generator / convert_torch_discriminator infer the
+    resolution (and mapping depth) from the state_dict keys — non-256²
+    pickles port without the caller hardcoding the reference shape."""
+    from viscoin_tpu.models.stylegan import Discriminator
+
+    generator = _tiny_generator()  # res 16, 2 mapping layers
+    gvars = generator.init({"params": jax.random.PRNGKey(10)},
+                           jnp.zeros((1, 8)), noise_mode="const")
+    gvars = jax.tree_util.tree_map(np.asarray, gvars)
+    back = po.convert_torch_generator(ex.export_generator_torch(gvars))
+    assert_trees_equal(back, gvars)
+
+    disc = Discriminator(img_resolution=IMG, channel_base=256, channel_max=16,
+                         mbstd_group_size=2)
+    d_params = jax.tree_util.tree_map(np.asarray, disc.init(
+        jax.random.PRNGKey(11), jnp.zeros((2, IMG, IMG, 3)))["params"])
+    d_back = po.convert_torch_discriminator(
+        ex.export_discriminator_torch(d_params))
+    assert_trees_equal(d_back, d_params)

@@ -138,3 +138,55 @@ def test_cli_dataset_param_rejects_unknown(tmp_path, monkeypatch):
     result = runner.invoke(main, ["train", "gan", "--dataset", "imagenet-21k"])
     assert result.exit_code != 0
     assert "neither a known dataset" in result.output
+
+
+def test_cli_train_gan_train_only_root_and_image_size(tmp_path, monkeypatch):
+    """A GAN-only dataset root WITHOUT a test/ split (the typical CelebA-HQ
+    layout) trains fine — `train gan` never evaluates, so get_datasets
+    builds the train split only — and --image-size sets the decode/train
+    resolution from the CLI (no env var needed)."""
+    from click.testing import CliRunner
+
+    data = tmp_path / "celeba_like"
+    _make_tree(data, n_train=4, n_test=0, size=48)
+    import shutil
+
+    shutil.rmtree(data / "test")  # train-only root
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "train", "gan", "--dataset", str(data), "--image-size", "32",
+        "--epochs", "2", "--batch-size", "4", "--no-data-parallel",
+        "--channel-base", "256", "--channel-max", "16",
+        "--output-weights", "gan-celeba"])
+    assert result.exit_code == 0, result.output
+    records = [json.loads(line)
+               for line in (tmp_path / "gan_2.jsonl").read_text().splitlines()]
+    assert records and np.isfinite(records[0]["g_loss"])
+
+
+def test_cli_image_size_refused_for_registry_datasets(tmp_path, monkeypatch):
+    from click.testing import CliRunner
+
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "train", "classifier", "--dataset", "synthetic", "--image-size", "128"])
+    assert result.exit_code != 0
+    assert "image-size" in result.output
+
+
+def test_get_datasets_train_only(tmp_path):
+    from viscoin_tpu.data.utils import get_datasets
+
+    data = tmp_path / "root"
+    _make_tree(data, n_train=2, n_test=0)
+    import shutil
+
+    shutil.rmtree(data / "test")
+    train, test = get_datasets(str(data), train_only=True, out_size=32)
+    assert test is None and len(train) == 4
+    with pytest.raises(FileNotFoundError):
+        get_datasets(str(data), out_size=32)  # test split required by default

@@ -110,6 +110,12 @@ from viscoin_tpu.utils.logging import configure_score_logging
               help="[gan] Dataset x-flip doubling (upstream --mirror; the "
                    "reference's CUB pickles come from mirrored runs). "
                    "Distinct from ADA, which augments only D's view")
+@click.option("--image-size", type=int, default=None,
+              help="[image-folder datasets] Square resolution images are "
+                   "decoded/trained at (default 256, or the "
+                   "VISCOIN_IMAGEFOLDER_SIZE env var) — e.g. 512 for a "
+                   "CelebA-HQ-512 root. Registry datasets are fixed by "
+                   "their reference recipes")
 @click.option("--snapshot-every", type=int, default=0,
               help="[gan] Write a fakes_<it>.png grid of 16 EMA-generator "
                    "samples every N iterations, from FIXED latents so the "
@@ -120,18 +126,19 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           data_parallel, model_parallel, optimizer, momentum, compute_dtype,
           debug_nans, resume_from, profile_dir, channel_base, channel_max,
           fid_detector_path, fid_every, fid_samples, init_from, ema_rampup,
-          mirror, snapshot_every):
+          mirror, image_size, snapshot_every):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
 
         enable_nan_debugging()
+    ds_kwargs = _dataset_kwargs(dataset, image_size)
     match model_name:
         case "classifier":
             _train_classifier(dataset, checkpoints, batch_size, learning_rate,
                               epochs, output_weights, data_parallel,
                               compute_dtype=compute_dtype, optimizer=optimizer,
-                              momentum=momentum)
+                              momentum=momentum, ds_kwargs=ds_kwargs)
         case "concept2clip":
             _train_concept2clip(latent_type, dataset, epochs, learning_rate,
                                 batch_size, output_weights, data_parallel)
@@ -140,7 +147,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                            gradient_accumulation_steps, data_parallel, resume_from,
                            profile_dir, fid_detector_path,
                            model_parallel=model_parallel,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, ds_kwargs=ds_kwargs)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
@@ -149,9 +156,25 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                        fid_detector_path=fid_detector_path,
                        fid_every=fid_every, fid_samples=fid_samples,
                        mirror=mirror, snapshot_every=snapshot_every,
-                       init_from=init_from, ema_rampup=ema_rampup)
+                       init_from=init_from, ema_rampup=ema_rampup,
+                       ds_kwargs=ds_kwargs)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
+
+
+def _dataset_kwargs(dataset: str, image_size) -> dict:
+    """--image-size routes to the image-folder dataset's ``out_size``; the
+    registry datasets' geometries are fixed by their reference recipes
+    (CUB/FunnyBirds 256² transforms; synthetic uses VISCOIN_SYNTH_SIZE)."""
+    if image_size is None:
+        return {}
+    import os
+
+    if not os.path.isdir(dataset):
+        raise click.UsageError(
+            "--image-size applies to image-folder (path) datasets; "
+            f"{dataset!r} is a registry dataset with a fixed geometry")
+    return {"out_size": image_size}
 
 
 def _build_mesh(data_parallel: bool, model_parallel: int):
@@ -178,7 +201,7 @@ def _build_mesh(data_parallel: bool, model_parallel: int):
 def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
                       learning_rate, epochs, output_weights,
                       data_parallel: bool = True, compute_dtype="bfloat16",
-                      optimizer=None, momentum=None):
+                      optimizer=None, momentum=None, ds_kwargs=None):
     from viscoin_tpu.models.resnet import Classifier
     from viscoin_tpu.train.classifiers import ClassifierTrainingParams, train_classifier
     from viscoin_tpu.utils import checkpoints as ckpt
@@ -188,7 +211,8 @@ def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
                                       compute_dtype=compute_dtype,
                                       optimizer=optimizer, momentum=momentum)
     configure_score_logging(f"classifier_{params.epochs}.jsonl")
-    train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
+    train_loader, test_loader = get_dataloaders(dataset, params.batch_size,
+                                                **(ds_kwargs or {}))
 
     model = Classifier(output_classes=train_loader.dataset.N_CLASSES)
     if checkpoints is not None:
@@ -269,7 +293,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                seed=0, model_parallel=1, compute_dtype="bfloat16",
                fid_detector_path=None, fid_every=0, fid_samples=8192,
                mirror=True, snapshot_every=0, init_from=None,
-               ema_rampup=None):
+               ema_rampup=None, ds_kwargs=None):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -312,11 +336,16 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
             raise click.UsageError(
                 f"multi-host `train gan` needs --data-parallel and a batch "
                 f"size divisible by the {world} processes")
-        train_ds, _ = get_datasets(dataset)
+        train_ds, _ = get_datasets(dataset, train_only=True,
+                                   **(ds_kwargs or {}))
         train_loader = DataLoader(train_ds, cfg.batch_size,
                                   shard=(jax.process_index(), world))
     else:
-        train_loader, _ = get_dataloaders(dataset, cfg.batch_size)
+        # train_only: GAN training never evaluates on a test split, so
+        # train-only roots (the typical CelebA-HQ GAN layout) load fine.
+        train_ds, _ = get_datasets(dataset, train_only=True,
+                                   **(ds_kwargs or {}))
+        train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True)
     local_bs = cfg.batch_size // world
     size = train_loader.dataset.out_size
     if len(train_loader.dataset) < cfg.batch_size:
@@ -358,7 +387,12 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
     # In-loop FID (the upstream trainer's snapshot metric): real-side moments
     # accumulate ONCE from a deterministic pass over the training set; the
     # fake side resamples the EMA generator at every cadence point.
-    fid_state = None
+    # Aux RNG streams branch off fixed tags (NOT cfg.iterations: resuming a
+    # run with a different --epochs must not change the "fixed" snapshot
+    # latents or the FID draws). Multi-level fold_in paths are structurally
+    # distinct from the single-level per-step keys.
+    _FID_TAG, _SNAPSHOT_TAG = 0x7FFFFFFE, 0x7FFFFFFF
+    fid_enabled = False
     if fid_every:
         if world > 1:
             raise click.UsageError(
@@ -388,8 +422,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                 detector(real_images_fn(jnp.asarray(images)))))
             if stats_real.num_items >= fid_samples:
                 break
-        fid_state = (detector, fake_images_fn, stats_real,
-                     FeatureStats, fid_from_stats)
+        fid_enabled = True
         click.echo(f"FID every {fid_every} it: {stats_real.num_items} real "
                    f"samples accumulated, {fid_samples} fakes per estimate")
 
@@ -403,10 +436,11 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         from viscoin_tpu.train.gan import make_gan_snapshot_fn
 
         snapshot_fn = make_gan_snapshot_fn(generator, 16)
-        # Fixed latents: the same key every snapshot (disjoint from the
-        # step/fid streams), so the grids stay comparable across training.
+        # Fixed latents: the same key every snapshot, derived from a fixed
+        # tag so the grids stay comparable across training AND across
+        # resumes that change --epochs.
         snapshot_key = jax.random.fold_in(jax.random.PRNGKey(seed),
-                                          2 * cfg.iterations + 1)
+                                          _SNAPSHOT_TAG)
 
     state_path = f"{output_weights}.train_state"
     resume_meta = {"batch_size": cfg.batch_size, "seed": seed,
@@ -444,18 +478,15 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         if i % 100 == 0 or i == cfg.iterations - 1:
             logger.info(json.dumps(
                 {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
-        if fid_state is not None and \
+        if fid_enabled and \
                 ((i > start and i % fid_every == 0) or i == cfg.iterations - 1):
-            detector, fake_images_fn, stats_real, FeatureStats, fid_from_stats \
-                = fid_state
             ema_vars = export_generator_vars(state, g_extras)
             stats_fake = FeatureStats(max_items=fid_samples)
             j = 0
+            fid_base = jax.random.fold_in(base_rng, _FID_TAG)
             while stats_fake.num_items < fid_samples:
-                # Key stream disjoint from the per-step fold_in(base, i) keys
-                # (fid indices start at cfg.iterations) and fresh per eval.
-                k = jax.random.fold_in(
-                    jax.random.fold_in(base_rng, cfg.iterations + i), j)
+                # Fresh draws per eval point, on the tag-rooted stream.
+                k = jax.random.fold_in(jax.random.fold_in(fid_base, i), j)
                 stats_fake.append(np.asarray(
                     detector(fake_images_fn(ema_vars, k))))
                 j += 1
@@ -526,7 +557,7 @@ def _load_fid_detector(path: str):
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
                    profile_dir=None, fid_detector_path=None, model_parallel=1,
-                   compute_dtype="bfloat16"):
+                   compute_dtype="bfloat16", ds_kwargs=None):
     from viscoin_tpu.models.bundle import default_models, init_models
     from viscoin_tpu.models.lpips import LPIPS
     from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
@@ -543,7 +574,8 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
         compute_dtype=compute_dtype,
     )
     configure_score_logging(f"viscoin_{params.iterations}.jsonl")
-    train_loader, test_loader = get_dataloaders(dataset, params.batch_size)
+    train_loader, test_loader = get_dataloaders(dataset, params.batch_size,
+                                                **(ds_kwargs or {}))
     n_classes = train_loader.dataset.N_CLASSES
     size = train_loader.dataset.out_size
 

@@ -67,24 +67,31 @@ def default_checkpoints(name: str) -> dict[str, str]:
 
 
 def get_datasets(name: str, transform: Literal["train", "test"] | None = None,
-                 **kwargs):
+                 train_only: bool = False, **kwargs):
     """Train/test dataset pair. ``transform`` overrides the per-split default
     (reference semantics: None → train tf on train split, test tf on test).
 
     ``name`` is a registry name ("cub", "funnybirds", "synthetic") or a
     directory path to a ``{root}/{train|test}/{class}/{image}`` layout
     (generic image-folder dataset — class count discovered from the
-    folders)."""
+    folders).
+
+    ``train_only=True`` returns ``(train, None)`` without constructing the
+    test split — consumers that never evaluate (``train gan``) then work on
+    train-only roots like a typical CelebA-HQ GAN layout, which has no
+    ``test/`` directory."""
     if name in _CLASSES:
         cls = _CLASSES[name]
         train = cls(mode="train", transform=transform, **kwargs)
-        test = cls(mode="test", transform=transform, **kwargs)
+        test = (None if train_only
+                else cls(mode="test", transform=transform, **kwargs))
         return train, test
     if os.path.isdir(name):
         train = ImageFolderDataset(mode="train", transform=transform,
                                    root=name, **kwargs)
-        test = ImageFolderDataset(mode="test", transform=transform,
-                                  root=name, **kwargs)
+        test = (None if train_only
+                else ImageFolderDataset(mode="test", transform=transform,
+                                        root=name, **kwargs))
         return train, test
     raise ValueError(
         f"unknown dataset {name!r}: expected one of {sorted(_CLASSES)} or a "

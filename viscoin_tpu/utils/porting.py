@@ -436,6 +436,21 @@ def _fc(sd: dict, prefix: str) -> dict:
     return out
 
 
+def _infer_resolution(sd: dict, prefix: str) -> int:
+    """Image resolution from the ``{prefix}b{res}.`` key family (the NVlabs
+    naming both synthesis and discriminator state_dicts use) — so converters
+    work on any-resolution checkpoints without the caller guessing."""
+    import re
+
+    pat = re.compile(rf"^{re.escape(prefix)}b(\d+)\.")
+    res = {int(m.group(1)) for k in sd if (m := pat.match(k))}
+    if not res:
+        raise ValueError(
+            f"no '{prefix}b<res>.' keys found — cannot infer the resolution "
+            "(not a StyleGAN2 synthesis/discriminator state_dict?)")
+    return max(res)
+
+
 def _synthesis_layer(sd: dict, prefix: str) -> tuple[dict, dict]:
     params = {
         "affine": _fc(sd, f"{prefix}.affine"),
@@ -451,11 +466,14 @@ def _synthesis_layer(sd: dict, prefix: str) -> tuple[dict, dict]:
 
 
 def convert_torch_synthesis(sd: dict[str, np.ndarray], prefix: str = "synthesis",
-                            img_resolution: int = 256) -> dict:
+                            img_resolution: int | None = None) -> dict:
     """Convert a torch SynthesisNetwork state_dict subtree into
-    {"params": ..., "noise": ...} for :class:`SynthesisNetwork`."""
+    {"params": ..., "noise": ...} for :class:`SynthesisNetwork`.
+    ``img_resolution=None`` infers it from the ``b{res}`` keys."""
     import math
 
+    if img_resolution is None:
+        img_resolution = _infer_resolution(sd, f"{prefix}." if prefix else "")
     params: dict = {}
     noise: dict = {}
     resolutions = [2**i for i in range(2, int(math.log2(img_resolution)) + 1)]
@@ -486,10 +504,20 @@ def convert_torch_synthesis(sd: dict[str, np.ndarray], prefix: str = "synthesis"
     return {"params": params, "noise": noise}
 
 
-def convert_torch_generator(sd: dict[str, np.ndarray], img_resolution: int = 256,
-                            mapping_layers: int = 2) -> dict:
+def convert_torch_generator(sd: dict[str, np.ndarray],
+                            img_resolution: int | None = None,
+                            mapping_layers: int | None = None) -> dict:
     """Convert a full torch StyleGAN2 Generator state_dict into variables for
-    :class:`viscoin_tpu.models.stylegan.Generator`."""
+    :class:`viscoin_tpu.models.stylegan.Generator`. Resolution and mapping
+    depth default to inference from the keys, so any-config pickles port
+    without the caller hardcoding the 256² reference shape."""
+    if mapping_layers is None:
+        mapping_layers = sum(1 for k in sd
+                             if k.startswith("mapping.fc") and
+                             k.endswith(".weight"))
+        if not mapping_layers:
+            raise ValueError("no mapping.fc{i} keys — not a Generator "
+                             "state_dict?")
     syn = convert_torch_synthesis(sd, "synthesis", img_resolution)
     mapping: dict = {}
     for i in range(mapping_layers):
@@ -531,15 +559,18 @@ def convert_torch_adapted_mapping(
 
 
 def convert_torch_discriminator(sd: dict[str, np.ndarray],
-                                img_resolution: int = 256,
+                                img_resolution: int | None = None,
                                 prefix: str = "") -> dict:
     """Convert a torch StyleGAN2 Discriminator state_dict (NVlabs naming:
     b{res}.{fromrgb,conv0,conv1,skip}, b4.{conv,fc,out}) into params for
     :class:`viscoin_tpu.models.stylegan.Discriminator` — needed to fine-tune
-    a pretrained reference GAN in-framework (train/gan.py)."""
+    a pretrained reference GAN in-framework (train/gan.py).
+    ``img_resolution=None`` infers it from the ``b{res}`` keys."""
     import math
 
     p = f"{prefix}." if prefix else ""
+    if img_resolution is None:
+        img_resolution = _infer_resolution(sd, p)
     params: dict = {}
     resolutions = [2**i for i in range(int(math.log2(img_resolution)), 2, -1)]
     for i, res in enumerate(resolutions):
@@ -568,12 +599,16 @@ def convert_torch_discriminator(sd: dict[str, np.ndarray],
     return params
 
 
-def convert_torch_generator_adapted(sd: dict[str, np.ndarray], img_resolution: int = 256,
+def convert_torch_generator_adapted(sd: dict[str, np.ndarray],
+                                    img_resolution: int | None = None,
                                     num_layers: int = 1, coarse_layer: int = 2,
                                     mid_layer: int = 10) -> dict:
-    """Convert the reference GeneratorAdapted state_dict (viscoin/models/gan.py)."""
+    """Convert the reference GeneratorAdapted state_dict (viscoin/models/gan.py).
+    ``img_resolution=None`` infers it from the synthesis ``b{res}`` keys."""
     import math
 
+    if img_resolution is None:
+        img_resolution = _infer_resolution(sd, "synthesis.")
     num_ws = 2 * int(math.log2(img_resolution)) - 2
     syn = convert_torch_synthesis(sd, "synthesis", img_resolution)
     mapping = convert_torch_adapted_mapping(
