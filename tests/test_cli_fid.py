@@ -1,0 +1,95 @@
+"""Offline `fid` command (the stylegan2-ada calc_metrics.py analogue) +
+generator config inference from a checkpoint."""
+
+import json
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny_generator_cfg():
+    return dict(z_dim=8, w_dim=16, img_resolution=32, mapping_layers=2,
+                channel_base=256, channel_max=16)
+
+
+def test_generator_config_inference_roundtrip():
+    from viscoin_tpu.models.stylegan import (
+        Generator,
+        generator_config_from_params,
+    )
+
+    cfg = _tiny_generator_cfg()
+    generator = Generator(**cfg)
+    gvars = generator.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, cfg["z_dim"])), noise_mode="const")
+    got = generator_config_from_params(gvars["params"])
+    assert got == cfg
+
+    # the reference 256² config's widths follow the schedule too
+    from viscoin_tpu.models.stylegan import SynthesisNetwork
+
+    assert SynthesisNetwork(channel_base=16384).channels(256) == 64
+
+
+def test_cli_fid_offline(tmp_path, monkeypatch):
+    """`fid --gan <export> --dataset synthetic`: architecture inferred from
+    the checkpoint, real side from one deterministic training-set pass,
+    fake side from fresh z — one JSON line out (detector stubbed; the real
+    detectors have their own parity tests)."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    generator = Generator(**cfg)
+    gvars = generator.init({"params": jax.random.PRNGKey(1)},
+                           jnp.zeros((1, cfg["z_dim"])), noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+
+    def fake_loader(path):
+        return lambda images: np.asarray(images).reshape(
+            images.shape[0], -1)[:, :8]
+
+    monkeypatch.setattr(cli_train, "_load_fid_detector", fake_loader)
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset", "synthetic",
+        "--samples", "8", "--batch-size", "4", "--fid-detector", "fakedet"])
+    assert result.exit_code == 0, result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert np.isfinite(out["fid"]) and out["fid"] > 0
+    assert out["real_items"] >= 8
+
+
+def test_cli_fid_resolution_mismatch_refused(tmp_path, monkeypatch):
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "64")  # != generator's 32²
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+    monkeypatch.setattr(cli_train, "_load_fid_detector",
+                        lambda path: (lambda images: np.zeros((4, 8))))
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset", "synthetic",
+        "--samples", "8", "--batch-size", "4", "--fid-detector", "fakedet"])
+    assert result.exit_code != 0
+    assert "resolution" in result.output

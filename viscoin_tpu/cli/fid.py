@@ -1,0 +1,103 @@
+"""`fid` command: offline FID of a generator vs a dataset.
+
+The stylegan2-ada ecosystem's ``calc_metrics.py`` analogue — the reference
+consumes GAN pickles selected BY this metric (reference
+viscoin/cli/train.py:202-205), and `train gan`'s multi-host FID refusal
+points here. Works on a ``train gan`` export or a
+``port_weights.py stylegan`` port; the generator's architecture is inferred
+from the checkpoint (``generator_config_from_params``), so no shape flags
+are needed. Real-side moments come from one deterministic pass over the
+TRAIN split (fid50k_full semantics: the training distribution), fake-side
+samples from fresh z through the generator, both through the same
+[0,1] → ImageNet adapter and the pluggable FID detector."""
+
+from __future__ import annotations
+
+import json
+
+import click
+
+from viscoin_tpu.cli.utils import dataset, device
+
+
+@click.command()
+@dataset
+@device
+@click.option("--gan", "gan_path", type=click.Path(exists=True), required=True,
+              help="Generator variables: a `train gan` export or a "
+                   "`port_weights.py stylegan` port (architecture inferred)")
+@click.option("--fid-detector", "fid_detector_path",
+              type=click.Path(exists=True), default=None,
+              help="FID feature detector (see `train --fid-detector`). "
+                   "Default: checkpoints/inception")
+@click.option("--samples", default=8192, show_default=True,
+              help="Samples per side (upstream fid50k_full uses 50000; "
+                   "smaller is faster and noisier — comparable across runs "
+                   "at a fixed value)")
+@click.option("--batch-size", default=64, show_default=True)
+@click.option("--seed", default=0, show_default=True)
+def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
+        seed):
+    """Offline FID of a (trained or ported) generator vs a dataset."""
+    import os
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from viscoin_tpu.cli.train import _load_fid_detector
+    from viscoin_tpu.data.loader import DataLoader
+    from viscoin_tpu.data.utils import get_datasets
+    from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
+    from viscoin_tpu.models.stylegan import (
+        Generator,
+        generator_config_from_params,
+    )
+    from viscoin_tpu.train.gan import make_gan_fid_fns
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    gvars = ckpt.restore_pytree(gan_path)
+    cfg = generator_config_from_params(gvars["params"])
+    generator = Generator(**cfg)
+
+    detector_path = fid_detector_path or "checkpoints/inception"
+    if not os.path.exists(detector_path):
+        raise click.UsageError(
+            f"no FID detector at {detector_path} (port weights with "
+            "scripts/port_weights.py inception / inception-nvlabs, or pass "
+            "--fid-detector)")
+    detector = _load_fid_detector(detector_path)
+    fake_images_fn, real_images_fn = make_gan_fid_fns(generator, batch_size)
+
+    # Real side: deterministic pass over the training distribution; the
+    # dataset decodes at the generator's resolution (image-folder roots honor
+    # out_size; fixed-geometry registry datasets must already match).
+    res = cfg["img_resolution"]
+    kwargs = {"out_size": res} if os.path.isdir(dataset) else {}
+    train_ds, _ = get_datasets(dataset, train_only=True, **kwargs)
+    if train_ds.out_size != res:
+        raise click.UsageError(
+            f"dataset decodes at {train_ds.out_size}² but the generator is "
+            f"{res}² — FID sides must see the same resolution")
+    stats_real = FeatureStats(max_items=samples)
+    for images, _ in DataLoader(train_ds, batch_size, shuffle=False):
+        if images.shape[0] != batch_size:
+            continue  # jit shape stability; the tail is a rounding error
+        stats_real.append(np.asarray(
+            detector(real_images_fn(jnp.asarray(images)))))
+        if stats_real.num_items >= samples:
+            break
+
+    stats_fake = FeatureStats(max_items=samples)
+    base = jax.random.PRNGKey(seed)
+    j = 0
+    while stats_fake.num_items < samples:
+        stats_fake.append(np.asarray(
+            detector(fake_images_fn(gvars, jax.random.fold_in(base, j)))))
+        j += 1
+
+    value = fid_from_stats(stats_real, stats_fake)
+    print(json.dumps({"fid": value, "samples": samples,
+                      "real_items": stats_real.num_items,
+                      "dataset": str(dataset), "gan": str(gan_path)}))

@@ -398,8 +398,8 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
             raise click.UsageError(
                 "--fid-every is single-host: the fake-side sampling and "
                 "host-side moment accumulation are not sharded across "
-                "processes (run FID offline on the exported generator "
-                "instead)")
+                "processes (run `main.py fid --gan <export>` offline on the "
+                "exported generator instead)")
         detector_path = fid_detector_path or "checkpoints/inception"
         if not os.path.exists(detector_path):
             raise click.UsageError(

@@ -484,6 +484,43 @@ class Generator(nn.Module):
         return self.synthesis(ws, noise_mode=noise_mode)
 
 
+def generator_config_from_params(params: dict) -> dict:
+    """Recover a :class:`Generator`'s constructor config from its params
+    pytree (a ``train gan`` export or a ported pickle) — resolution and
+    widths from the synthesis blocks, latent dims and depth from the mapping
+    — so tools like the offline ``fid`` command rebuild the right module
+    without the user re-supplying architecture flags."""
+    import numpy as np
+
+    syn = params["synthesis"]
+    resolutions = sorted(int(k[1:]) for k in syn)
+    img_resolution = max(resolutions)
+    widths = {r: int(np.shape(syn[f"b{r}"]["conv1"]["weight"])[-1])
+              for r in resolutions}
+    channel_max = max(widths.values())
+    channel_base = max(w * r for r, w in widths.items())
+    for r, w in widths.items():
+        if min(channel_base // r, channel_max) != w:
+            raise ValueError(
+                f"synthesis widths {widths} do not follow the StyleGAN2 "
+                "min(channel_base//res, channel_max) schedule — cannot infer "
+                "the module config; construct the Generator explicitly")
+    mapping = params["mapping"]
+    fcs = sorted(k for k in mapping if k.startswith("fc"))
+    if not fcs:
+        raise ValueError("params['mapping'] has no fc{i} layers — an adapted "
+                         "(VisCoIN) mapping? config inference covers the "
+                         "original Generator only")
+    return {
+        "z_dim": int(np.shape(mapping[fcs[0]]["weight"])[1]),
+        "w_dim": int(np.shape(mapping[fcs[-1]]["weight"])[0]),
+        "img_resolution": img_resolution,
+        "mapping_layers": len(fcs),
+        "channel_base": channel_base,
+        "channel_max": channel_max,
+    }
+
+
 class GeneratorAdapted(nn.Module):
     """StyleGAN adapted for VisCoIN (reference: viscoin/models/gan.py:35-144).
 
