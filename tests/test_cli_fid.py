@@ -93,3 +93,31 @@ def test_cli_fid_resolution_mismatch_refused(tmp_path, monkeypatch):
         "--samples", "8", "--batch-size", "4", "--fid-detector", "fakedet"])
     assert result.exit_code != 0
     assert "resolution" in result.output
+
+
+def test_cli_fid_dataset_smaller_than_batch_refused(tmp_path, monkeypatch):
+    """A dataset with fewer images than --batch-size can never form a full
+    real-side batch — refused with a pointer instead of a NoneType crash in
+    the moment accumulator."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "2")  # < batch-size 4
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+    monkeypatch.setattr(cli_train, "_load_fid_detector",
+                        lambda path: (lambda images: np.zeros((4, 8))))
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset", "synthetic",
+        "--samples", "8", "--batch-size", "4", "--fid-detector", "fakedet"])
+    assert result.exit_code != 0
+    assert "--batch-size" in result.output

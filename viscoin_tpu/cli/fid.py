@@ -88,6 +88,10 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
             detector(real_images_fn(jnp.asarray(images)))))
         if stats_real.num_items >= samples:
             break
+    if stats_real.num_items == 0:
+        raise click.UsageError(
+            f"dataset has {len(train_ds)} images < --batch-size {batch_size}: "
+            "no full real-side batch can be formed (lower --batch-size)")
 
     stats_fake = FeatureStats(max_items=samples)
     base = jax.random.PRNGKey(seed)
