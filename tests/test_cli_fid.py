@@ -27,7 +27,15 @@ def test_generator_config_inference_roundtrip():
     gvars = generator.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, cfg["z_dim"])), noise_mode="const")
     got = generator_config_from_params(gvars["params"])
-    assert got == cfg
+    assert got == {**cfg, "img_channels": 3}
+
+    # non-RGB checkpoints rebuild with their true channel count (a grayscale
+    # port must not silently come back as a 3-channel Generator)
+    gray = Generator(**cfg, img_channels=1)
+    gray_vars = gray.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, cfg["z_dim"])), noise_mode="const")
+    assert generator_config_from_params(
+        gray_vars["params"])["img_channels"] == 1
 
     # the reference 256² config's widths follow the schedule too
     from viscoin_tpu.models.stylegan import SynthesisNetwork
@@ -121,3 +129,29 @@ def test_cli_fid_dataset_smaller_than_batch_refused(tmp_path, monkeypatch):
         "--samples", "8", "--batch-size", "4", "--fid-detector", "fakedet"])
     assert result.exit_code != 0
     assert "--batch-size" in result.output
+
+
+def test_cli_fid_zero_samples_refused(tmp_path, monkeypatch):
+    """--samples 0 is a flag error, not a (misleading) dataset-size one."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+    monkeypatch.setattr(cli_train, "_load_fid_detector",
+                        lambda path: (lambda images: np.zeros((4, 8))))
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset", "synthetic",
+        "--samples", "0", "--batch-size", "4", "--fid-detector", "fakedet"])
+    assert result.exit_code != 0
+    assert "--samples" in result.output

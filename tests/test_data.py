@@ -50,6 +50,48 @@ def test_host_test_transform_matches_torchvision(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_host_gan_transform_geometry(rng):
+    """GAN-side geometry: full-short-side center crop + resize (stylegan2-ada
+    dataset_tool semantics) — square inputs are an EXACT resize (no border
+    cut), non-square inputs keep the whole short side."""
+    from PIL import Image
+
+    from viscoin_tpu.data.transforms import host_gan_transform
+
+    # square: pure Resize((size, size))
+    sq = rng.integers(0, 256, (300, 300, 3), dtype=np.uint8)
+    got = host_gan_transform(sq, size=64)
+    ref = np.asarray(Image.fromarray(sq).resize((64, 64), Image.BILINEAR))
+    np.testing.assert_array_equal(got, ref)
+
+    # non-square: short side resized to size, center crop — the crop spans
+    # the FULL short side (no 256/292 classifier-eval margin)
+    img = rng.integers(0, 256, (300, 431, 3), dtype=np.uint8)
+    got = host_gan_transform(img, size=64)
+    nh, nw = 64, int(round(431 * 64 / 300))
+    ref = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+    left = (nw - 64) // 2
+    np.testing.assert_array_equal(got, ref[:, left : left + 64])
+
+    # deterministic: no RNG anywhere in the path
+    np.testing.assert_array_equal(got, host_gan_transform(img, size=64))
+
+
+def test_dataset_gan_transform_mode():
+    """transform="gan" plumbs through get_datasets and is deterministic
+    across epochs (unlike train mode — `train gan` and `fid` feed the
+    discriminator/detector a fixed image distribution; mirror and ADA are
+    the only GAN-side augmentations, applied inside the step)."""
+    from viscoin_tpu.data.utils import get_datasets
+
+    ds, _ = get_datasets("synthetic", "gan", train_only=True)
+    assert ds.transform_mode == "gan"
+    first, _ = ds[0]
+    ds.set_epoch(7)
+    again, _ = ds[0]
+    np.testing.assert_array_equal(first, again)
+
+
 def test_device_preprocess_normalization(rng):
     u8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
     out = np.asarray(device_preprocess(jnp.asarray(u8)))

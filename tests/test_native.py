@@ -59,6 +59,13 @@ def test_crop_boxes_modes(rng):
         t, l, ch, cw = native.crop_boxes([(120, 200)], "train", 64, rng)[0]
         assert 0 <= t and t + ch <= 120 and 0 <= l and l + cw <= 200
 
+    # gan: the FULL short side, centered (stylegan2-ada dataset_tool
+    # center-crop geometry — no classifier-eval 256/292 margin)
+    t, l, ch, cw = native.crop_boxes([(300, 400)], "gan", 256, rng)[0]
+    assert ch == cw == 300 and t == 0 and l == 50
+    t, l, ch, cw = native.crop_boxes([(256, 256)], "gan", 256, rng)[0]
+    assert (t, l, ch, cw) == (0, 0, 256, 256)  # square input: exact resize
+
 
 def test_loader_native_path(rng):
     ds = SyntheticDataset(n=12, n_classes=3, image_size=64, mode="test")

@@ -47,16 +47,20 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
     import jax.numpy as jnp
 
     from viscoin_tpu.cli.train import _load_fid_detector
-    from viscoin_tpu.data.loader import DataLoader
     from viscoin_tpu.data.utils import get_datasets
     from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
     from viscoin_tpu.models.stylegan import (
         Generator,
         generator_config_from_params,
     )
-    from viscoin_tpu.train.gan import make_gan_fid_fns
+    from viscoin_tpu.train.gan import (
+        accumulate_real_fid_stats,
+        make_gan_fid_fns,
+    )
     from viscoin_tpu.utils import checkpoints as ckpt
 
+    if samples < 1:
+        raise click.UsageError(f"--samples {samples}: need at least 1")
     gvars = ckpt.restore_pytree(gan_path)
     cfg = generator_config_from_params(gvars["params"])
     generator = Generator(**cfg)
@@ -70,29 +74,31 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
     detector = _load_fid_detector(detector_path)
     fake_images_fn, real_images_fn = make_gan_fid_fns(generator, batch_size)
 
-    # Real side: deterministic pass over the training distribution; the
-    # dataset decodes at the generator's resolution (image-folder roots honor
-    # out_size; fixed-geometry registry datasets must already match).
+    # Real side: deterministic pass over the training distribution with the
+    # SAME geometry `train gan` feeds the discriminator (transform="gan":
+    # full-short-side center crop + resize — upstream calc_metrics.py
+    # fid50k_full consumes raw dataset-zip images, never classifier-style
+    # random crops); the dataset decodes at the generator's resolution
+    # (image-folder roots honor out_size; fixed-geometry registry datasets
+    # must already match).
     res = cfg["img_resolution"]
     kwargs = {"out_size": res} if os.path.isdir(dataset) else {}
-    train_ds, _ = get_datasets(dataset, train_only=True, **kwargs)
+    train_ds, _ = get_datasets(dataset, "gan", train_only=True, **kwargs)
     if train_ds.out_size != res:
         raise click.UsageError(
             f"dataset decodes at {train_ds.out_size}² but the generator is "
             f"{res}² — FID sides must see the same resolution")
-    stats_real = FeatureStats(max_items=samples)
-    for images, _ in DataLoader(train_ds, batch_size, shuffle=False):
-        if images.shape[0] != batch_size:
-            continue  # jit shape stability; the tail is a rounding error
-        stats_real.append(np.asarray(
-            detector(real_images_fn(jnp.asarray(images)))))
-        if stats_real.num_items >= samples:
-            break
-    if stats_real.num_items == 0:
+    if len(train_ds) < batch_size:
         raise click.UsageError(
             f"dataset has {len(train_ds)} images < --batch-size {batch_size}: "
             "no full real-side batch can be formed (lower --batch-size)")
+    stats_real = accumulate_real_fid_stats(detector, real_images_fn, train_ds,
+                                           batch_size, samples)
 
+    # The restored tree holds host numpy leaves — place it once, or jit
+    # re-transfers every generator param on each fake batch (CLAUDE.md: the
+    # relay tunnel moves bulk data at ~25 MB/s).
+    gvars = jax.device_put(gvars)
     stats_fake = FeatureStats(max_items=samples)
     base = jax.random.PRNGKey(seed)
     j = 0

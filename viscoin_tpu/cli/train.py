@@ -336,14 +336,19 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
             raise click.UsageError(
                 f"multi-host `train gan` needs --data-parallel and a batch "
                 f"size divisible by the {world} processes")
-        train_ds, _ = get_datasets(dataset, train_only=True,
+        train_ds, _ = get_datasets(dataset, "gan", train_only=True,
                                    **(ds_kwargs or {}))
         train_loader = DataLoader(train_ds, cfg.batch_size,
                                   shard=(jax.process_index(), world))
     else:
         # train_only: GAN training never evaluates on a test split, so
         # train-only roots (the typical CelebA-HQ GAN layout) load fine.
-        train_ds, _ = get_datasets(dataset, train_only=True,
+        # transform="gan": deterministic short-side center crop + resize —
+        # upstream stylegan2-ada trains on raw dataset-zip images (mirror and
+        # ADA, both applied inside the step, are the ONLY augmentations);
+        # the classifier-style RandomResizedCrop would teach G a crop
+        # distribution the reference pipeline never sees.
+        train_ds, _ = get_datasets(dataset, "gan", train_only=True,
                                    **(ds_kwargs or {}))
         train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True)
     local_bs = cfg.batch_size // world
@@ -407,21 +412,17 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                 "(port weights with scripts/port_weights.py inception, or "
                 "pass --fid-detector)")
         from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
-        from viscoin_tpu.train.gan import make_gan_fid_fns
+        from viscoin_tpu.train.gan import (
+            accumulate_real_fid_stats,
+            make_gan_fid_fns,
+        )
 
         detector = _load_fid_detector(detector_path)
         fake_images_fn, real_images_fn = make_gan_fid_fns(generator,
                                                           cfg.batch_size)
-        stats_real = FeatureStats(max_items=fid_samples)
-        real_loader = DataLoader(train_loader.dataset, cfg.batch_size,
-                                 shuffle=False)
-        for images, _ in real_loader:
-            if images.shape[0] != cfg.batch_size:
-                continue
-            stats_real.append(np.asarray(
-                detector(real_images_fn(jnp.asarray(images)))))
-            if stats_real.num_items >= fid_samples:
-                break
+        stats_real = accumulate_real_fid_stats(
+            detector, real_images_fn, train_loader.dataset, cfg.batch_size,
+            fid_samples)
         fid_enabled = True
         click.echo(f"FID every {fid_every} it: {stats_real.num_items} real "
                    f"samples accumulated, {fid_samples} fakes per estimate")

@@ -23,9 +23,18 @@ from typing import Literal
 
 import numpy as np
 
-from viscoin_tpu.data.transforms import host_test_transform, host_train_transform
+from viscoin_tpu.data.transforms import (
+    host_gan_transform,
+    host_test_transform,
+    host_train_transform,
+)
 
 Mode = Literal["train", "test"]
+# transform override: dataset splits are train/test, but the TRANSFORM can
+# additionally be "gan" (deterministic short-side resize + center crop — the
+# stylegan2-ada dataset_tool geometry `train gan` and `fid` feed the
+# discriminator/detector; mirror/ADA are the only GAN-side augmentations).
+TransformMode = Literal["train", "test", "gan"]
 
 
 def data_root() -> str:
@@ -39,10 +48,10 @@ class ImageDataset:
 
     out_size: int = 256  # model input resolution the host transform targets
 
-    def __init__(self, mode: Mode, transform: Mode | None = None, seed: int = 0,
+    def __init__(self, mode: Mode, transform: TransformMode | None = None, seed: int = 0,
                  cache_transformed: bool = False):
         self.mode: Mode = mode
-        self.transform_mode: Mode = transform if transform is not None else mode
+        self.transform_mode: TransformMode = transform if transform is not None else mode
         self._cache: dict[int, np.ndarray] = {}
         self.seed = seed
         self._epoch = 0
@@ -83,6 +92,8 @@ class ImageDataset:
         img = self.raw_image(index)
         if self.transform_mode == "train":
             out = host_train_transform(img, self._item_rng(index), size=self.out_size)
+        elif self.transform_mode == "gan":
+            out = host_gan_transform(img, size=self.out_size)
         else:
             out = host_test_transform(img, size=self.out_size,
                                       resize_to=int(self.out_size / 0.875))
@@ -105,7 +116,7 @@ class CUB_200_2011(ImageDataset):
     N_CLASSES = 200
 
     def __init__(self, mode: Mode = "train", bbox_only: bool = False,
-                 transform: Mode | None = None, root: str | None = None, **kw):
+                 transform: TransformMode | None = None, root: str | None = None, **kw):
         super().__init__(mode, transform, **kw)
         self.dataset_path = root or os.path.join(data_root(), "CUB_200_2011")
         if not os.path.isdir(self.dataset_path):
@@ -224,7 +235,7 @@ class FunnyBirds(ImageDataset):
 
     N_CLASSES = 50
 
-    def __init__(self, mode: Mode = "train", transform: Mode | None = None,
+    def __init__(self, mode: Mode = "train", transform: TransformMode | None = None,
                  root: str | None = None, **kw):
         super().__init__(mode, transform, **kw)
         self.dataset_path = root or os.path.join(data_root(), "FunnyBirds")
@@ -294,7 +305,7 @@ class ImageFolderDataset(ImageDataset):
     labels are indices into the sorted union of train+test class dirs (so
     both splits agree even if one is missing a class)."""
 
-    def __init__(self, mode: Mode = "train", transform: Mode | None = None,
+    def __init__(self, mode: Mode = "train", transform: TransformMode | None = None,
                  root: str | None = None, out_size: int | None = None, **kw):
         super().__init__(mode, transform, **kw)
         if root is None:
@@ -354,7 +365,7 @@ class SyntheticDataset(ImageDataset):
 
     def __init__(self, n: int | None = None, n_classes: int = 10,
                  image_size: int | None = None, mode: Mode = "train",
-                 transform: Mode | None = None, seed: int = 0):
+                 transform: TransformMode | None = None, seed: int = 0):
         super().__init__(mode, transform, seed=seed)
         # env knobs so the CLI can smoke-test with tiny configs
         if n is None:

@@ -87,6 +87,17 @@ def host_train_transform(img: np.ndarray, rng: np.random.Generator,
     return np.asarray(out, np.uint8)
 
 
+def host_gan_transform(img: np.ndarray, size: int = TRAIN_SIZE) -> np.ndarray:
+    """Deterministic full-frame geometry for GAN training/FID: short side
+    resized to ``size`` + center crop (stylegan2-ada dataset_tool
+    'center-crop' semantics). For square inputs this is exactly
+    ``Resize((size, size))`` — no border is cut. Distinct from the test
+    transform, whose 256/292 margin is a classifier-eval convention; the
+    upstream GAN trainer consumes raw dataset images (mirror and ADA are the
+    only augmentations, both applied inside the train step)."""
+    return host_test_transform(img, size=size, resize_to=size)
+
+
 def host_test_transform(img: np.ndarray, size: int = TRAIN_SIZE,
                         resize_to: int = TEST_RESIZE) -> np.ndarray:
     """Resize(short side) + CenterCrop to (size, size) uint8 HWC."""

@@ -518,6 +518,10 @@ def generator_config_from_params(params: dict) -> dict:
         "mapping_layers": len(fcs),
         "channel_base": channel_base,
         "channel_max": channel_max,
+        # HWIO: the top block's torgb out-dim is the image channel count
+        # (a grayscale port must not silently rebuild as RGB).
+        "img_channels": int(
+            np.shape(syn[f"b{img_resolution}"]["torgb"]["weight"])[-1]),
     }
 
 

@@ -119,6 +119,9 @@ def crop_boxes(shapes: list[tuple[int, int]], mode: str, size: int,
           where resize_to = int(size/0.875) (e.g. 256/292 = 0.8767, NOT
           0.875: the int() truncation in the torchvision recipe shifts the
           effective fraction, and the PIL path reproduces exactly that).
+    gan:  short-side center crop (the FULL short side) resized to size —
+          stylegan2-ada dataset_tool 'center-crop' geometry; exact resize
+          for square inputs (host_gan_transform).
 
     ``rng`` is one np.random.Generator for the whole batch, or a list of
     per-image Generators (the loader keys each by (seed, epoch, index), so
@@ -132,6 +135,9 @@ def crop_boxes(shapes: list[tuple[int, int]], mode: str, size: int,
     for i, (h, w) in enumerate(shapes):
         if mode == "train":
             boxes[i] = random_resized_crop_params(h, w, rngs[i])
+        elif mode == "gan":
+            side = min(h, w)
+            boxes[i] = ((h - side) // 2, (w - side) // 2, side, side)
         else:
             side = int(round(min(h, w) * size / int(size / 0.875)))
             boxes[i] = ((h - side) // 2, (w - side) // 2, side, side)

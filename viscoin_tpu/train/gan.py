@@ -32,6 +32,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -233,6 +234,27 @@ def make_gan_fid_fns(generator, batch_size: int):
         return normalize_only(images_u8.astype(jnp.float32) / 255.0)
 
     return fake_images, real_images
+
+
+def accumulate_real_fid_stats(detector, real_images_fn, dataset,
+                              batch_size: int, max_items: int):
+    """Real-side FID moments: one deterministic (unshuffled) pass over
+    ``dataset`` through ``real_images_fn`` + ``detector``, truncated at
+    ``max_items``. Partial tail batches are skipped for jit shape stability
+    (a rounding error at FID sample counts). Shared by the in-loop
+    ``train gan --fid-every`` metric and the offline ``fid`` command so the
+    two stay in semantic lockstep."""
+    from viscoin_tpu.data.loader import DataLoader
+    from viscoin_tpu.eval.fid import FeatureStats
+
+    stats = FeatureStats(max_items=max_items)
+    for images, _ in DataLoader(dataset, batch_size, shuffle=False):
+        if images.shape[0] != batch_size:
+            continue
+        stats.append(np.asarray(detector(real_images_fn(jnp.asarray(images)))))
+        if stats.num_items >= max_items:
+            break
+    return stats
 
 
 def make_gan_snapshot_fn(generator, n_images: int):
