@@ -205,7 +205,10 @@ def main():
 
     logging.shutdown()
     wrote_ckpt = os.path.isdir(os.path.join(ckpt_dir, "train_state"))
-    n_log_lines = sum(1 for line in open(log_path) if line.strip())
+    # Non-zero ranks never even open the jsonl path (configure_score_logging
+    # attaches the file handler on process 0 only), so the file won't exist.
+    n_log_lines = (sum(1 for line in open(log_path) if line.strip())
+                   if os.path.exists(log_path) else 0)
     print("MULTIHOST_OK " + json.dumps({
         "rank": pid,
         "acc_loss": round(results.acc_loss, 6),

@@ -314,3 +314,43 @@ def test_cli_logs_other_schemas(tmp_path, record):
     runner = CliRunner()
     result = runner.invoke(main, ["logs", "--logs-path", str(log)])
     assert result.exit_code == 0, result.output
+
+
+def test_cli_logs_gan_schema_fid_first_record(tmp_path):
+    """Schema sniff scans ALL records, not records[0]: a resumed `train gan`
+    with --fid-every < 100 writes a fid-only record before the first %100
+    loss record, which a records[0]-keyed sniff misrouted to the viscoin
+    parser (ValueError on its own output)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    log = tmp_path / "gan_20000.jsonl"
+    with open(log, "w") as f:
+        f.write(json.dumps({"iteration": 10020, "fid": 12.3}) + "\n")
+        f.write(json.dumps({"iteration": 10100, "g_loss": 1.0, "d_loss": 1.2,
+                            "r1": 0.01, "pl_lengths": 0.5,
+                            "pl_mean": 0.1}) + "\n")
+    from main import main
+
+    result = CliRunner().invoke(main, ["logs", "--logs-path", str(log)])
+    assert result.exit_code == 0, result.output
+
+
+def test_cli_train_concept2clip_image_size_plumbed(tmp_path, monkeypatch):
+    """--image-size reaches _train_concept2clip's dataset construction (it
+    was validated by the dispatcher but silently dropped for this one
+    subcommand — spaces were computed at the 256 default)."""
+    import viscoin_tpu.cli.train as cli_train
+
+    seen = {}
+    monkeypatch.setattr(
+        cli_train, "_train_concept2clip",
+        lambda *a, ds_kwargs=None, **k: seen.update(ds_kwargs=ds_kwargs))
+    root = tmp_path / "cars"
+    (root / "train" / "a").mkdir(parents=True)
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "train", "concept2clip", "--dataset", str(root), "--image-size", "128"])
+    assert result.exit_code == 0, result.output
+    assert seen["ds_kwargs"] == {"out_size": 128}

@@ -132,3 +132,15 @@ def test_clip_text_parity(hf_model, rng):
     got = clip.apply({"params": params}, jnp.asarray(tokens.astype(np.int32)),
                      method=clip.encode_text)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-4)
+
+
+def test_clip_cache_names_key_path_datasets():
+    """Embedding caches key by the dataset's short name: a directory-path
+    dataset interpolated raw would embed path separators and scatter caches
+    into never-created subdirectories of checkpoints/clip."""
+    from viscoin_tpu.models.clip import _img_cache, _txt_cache
+
+    p = _img_cache("train", "/data/celeba-hq", "ViT-B/32")
+    assert p == "checkpoints/clip/ViT-B-32_celeba-hq_img_train.npz"
+    t = _txt_cache("k", "rel/nested/root/", "ViT-B/32")
+    assert t == "checkpoints/clip/ViT-B-32_root_txt_k.npz"

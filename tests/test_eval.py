@@ -292,3 +292,26 @@ def test_test_viscoin_mesh_2d(models):
         np.testing.assert_allclose(getattr(r2d, f), getattr(r1, f), rtol=1e-4,
                                    err_msg=f)
     np.testing.assert_allclose(r2d.fid_score, r1.fid_score, rtol=1e-3)
+
+
+def test_compute_spaces_path_dataset_cache_location(models, tmp_path):
+    """Caches for directory-path datasets stay INSIDE cache_dir, keyed by
+    basename (+ decode size when non-256): os.path.join with a raw absolute
+    dataset path resolves to a file NEXT TO the dataset root, and a stale
+    256² cache must not satisfy a different --image-size run (the cached
+    arrays' shapes are resolution-independent)."""
+    import os
+
+    from viscoin_tpu.eval.spaces import compute_concept_space
+
+    train_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG, mode="test")
+    test_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG, mode="test")
+    cache_dir = tmp_path / "concepts"
+    dataset_path = str(tmp_path / "data" / "celeba")  # path-style name
+
+    compute_concept_space(models, dataset_path, train_ds, test_ds,
+                          batch_size=4, cache_dir=str(cache_dir))
+    # keyed by basename + the 32² decode size, inside cache_dir
+    assert (cache_dir / f"celeba_{IMG}.npz").exists()
+    assert sorted(os.listdir(cache_dir)) == [f"celeba_{IMG}.npz"]
+    assert not (tmp_path / "data").exists()  # nothing near the dataset root

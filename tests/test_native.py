@@ -99,3 +99,32 @@ def test_native_is_faster_than_pil(rng):
     # Only assert it's not drastically slower (CI machines vary; this box has
     # a single CPU core, so thread-pool speedups are not guaranteed here).
     assert native_t < pil_t * 3.0, (native_t, pil_t)
+
+
+def test_stale_binary_sweep_and_atomic_build():
+    """Rebuild path: binaries of OLDER source digests are swept, the current
+    digest's binary is rebuilt via temp-name + atomic rename (no .tmp
+    leftovers, and a concurrent builder's fresh .so can never be unlinked
+    between its g++ and its CDLL — the sweep skips the current name)."""
+    import glob
+    import os
+
+    import viscoin_tpu.native as native_mod
+
+    d = os.path.dirname(native_mod.__file__)
+    cur = glob.glob(os.path.join(d, "libvctransform-*.so"))
+    assert len(cur) == 1, cur
+    stale = os.path.join(d, "libvctransform-0000deadbeef0000.so")
+    open(stale, "wb").close()
+    try:
+        native_mod._LIB = None  # force a fresh load decision
+        os.remove(cur[0])
+        assert native_mod.available()  # rebuilds under the digest name
+        assert os.path.exists(cur[0])
+        assert not os.path.exists(stale)  # older digest swept
+        assert glob.glob(os.path.join(d, "*.tmp")) == []  # rename completed
+    finally:
+        if os.path.exists(stale):
+            os.remove(stale)
+        native_mod._LIB = None
+        assert native_mod.available()

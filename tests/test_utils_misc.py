@@ -86,3 +86,32 @@ def test_bench_fallback_ladder():
     for b in (1, 5, 8, 12, 64, 1024):
         lad = bench.fallback_ladder(b)
         assert lad == sorted(set(lad), reverse=True)
+
+
+def test_configure_score_logging_process0_only(tmp_path, monkeypatch):
+    """Only process 0 attaches the jsonl file handler: every process calls
+    configure_score_logging at subcommand start, and N ranks opening the
+    SAME path with mode='w' would truncate/interleave each other's records
+    (a slow-starting rank erases rank 0's first lines)."""
+    import logging
+
+    import jax
+
+    from viscoin_tpu.utils.logging import configure_score_logging, get_logger
+
+    p0 = tmp_path / "rank0.jsonl"
+    configure_score_logging(str(p0))
+    get_logger().info("from-rank-0")
+    for h in get_logger().handlers:
+        h.flush()
+    assert p0.read_text().strip() == "from-rank-0"
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    p1 = tmp_path / "rank1.jsonl"
+    configure_score_logging(str(p1))
+    get_logger().info("dropped")
+    assert get_logger().handlers == []  # handler-less: records dropped
+    assert not p1.exists()  # the shared path is never even opened
+
+    monkeypatch.undo()
+    logging.getLogger("viscoin_tpu.metrics").handlers.clear()

@@ -41,19 +41,17 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
     """Offline FID of a (trained or ported) generator vs a dataset."""
     import os
 
-    import numpy as np
-
     import jax
-    import jax.numpy as jnp
 
     from viscoin_tpu.cli.train import _load_fid_detector
     from viscoin_tpu.data.utils import get_datasets
-    from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
+    from viscoin_tpu.eval.fid import fid_from_stats
     from viscoin_tpu.models.stylegan import (
         Generator,
         generator_config_from_params,
     )
     from viscoin_tpu.train.gan import (
+        accumulate_fake_fid_stats,
         accumulate_real_fid_stats,
         make_gan_fid_fns,
     )
@@ -99,13 +97,8 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
     # re-transfers every generator param on each fake batch (CLAUDE.md: the
     # relay tunnel moves bulk data at ~25 MB/s).
     gvars = jax.device_put(gvars)
-    stats_fake = FeatureStats(max_items=samples)
-    base = jax.random.PRNGKey(seed)
-    j = 0
-    while stats_fake.num_items < samples:
-        stats_fake.append(np.asarray(
-            detector(fake_images_fn(gvars, jax.random.fold_in(base, j)))))
-        j += 1
+    stats_fake = accumulate_fake_fid_stats(detector, fake_images_fn, gvars,
+                                           jax.random.PRNGKey(seed), samples)
 
     value = fid_from_stats(stats_real, stats_fake)
     print(json.dumps({"fid": value, "samples": samples,

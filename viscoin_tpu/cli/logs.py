@@ -39,7 +39,12 @@ def _plot_scalar_logs(records: list[dict], title: str) -> None:
     schema and crashes on its own other logs; here every schema plots)."""
     import matplotlib.pyplot as plt
 
-    keys = [k for k in records[0] if isinstance(records[0][k], (int, float))]
+    # Union of keys across records (not records[0]'s): epochs may log
+    # different key sets, and a missing key just skips that point below.
+    keys: list[str] = []
+    for r in records:
+        keys += [k for k in r
+                 if k not in keys and isinstance(r[k], (int, float))]
     fig, ax = plt.subplots(figsize=(8, 4))
     for key in keys:
         pts = [(i, r[key]) for i, r in enumerate(records) if key in r]
@@ -77,11 +82,15 @@ def logs(logs_path: str):
     testing_results: list[TestingResults] = []
 
     records = _read_records(logs_path)
-    if records and "g_loss" in records[0]:  # `train gan` log schema
+    # Schema sniffs scan ALL records, not records[0]: the first record of a
+    # run is cadence-dependent (a resumed `train gan` with a small
+    # --fid-every writes a fid-only record before the first %100 loss
+    # record), so keying off records[0] misroutes real logs.
+    if any("g_loss" in r or "fid" in r for r in records):  # `train gan`
         _plot_gan_logs(records)
         return
-    if records and ("matching_accuracy" in records[0]  # concept2clip schema
-                    or "train_accuracy" in records[0]):  # classifier schema
+    if any("matching_accuracy" in r  # concept2clip schema
+           or "train_accuracy" in r for r in records):  # classifier schema
         _plot_scalar_logs(records, "training curves")
         return
 

@@ -141,7 +141,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                               momentum=momentum, ds_kwargs=ds_kwargs)
         case "concept2clip":
             _train_concept2clip(latent_type, dataset, epochs, learning_rate,
-                                batch_size, output_weights, data_parallel)
+                                batch_size, output_weights, data_parallel,
+                                ds_kwargs=ds_kwargs)
         case "viscoin":
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
@@ -235,7 +236,7 @@ def _train_classifier(dataset: DatasetType, checkpoints, batch_size,
 
 def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
                         learning_rate, batch_size, output_weights,
-                        data_parallel: bool = True):
+                        data_parallel: bool = True, ds_kwargs=None):
     import numpy as np
 
     from viscoin_tpu.data.utils import get_datasets
@@ -261,7 +262,7 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
                              or SPACES_BATCH_SIZE % mesh.shape["data"]):
         mesh = None  # tiny-MLP trainer: fall back rather than refuse
 
-    train_ds, test_ds = get_datasets(dataset, "test")
+    train_ds, test_ds = get_datasets(dataset, "test", **(ds_kwargs or {}))
     if latent_type == "viscoin":
         train_spaces, test_spaces = compute_concept_space(viscoin, dataset,
                                                           train_ds, test_ds,
@@ -411,8 +412,9 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                 f"--fid-every needs a FID detector; none at {detector_path} "
                 "(port weights with scripts/port_weights.py inception, or "
                 "pass --fid-detector)")
-        from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
+        from viscoin_tpu.eval.fid import fid_from_stats
         from viscoin_tpu.train.gan import (
+            accumulate_fake_fid_stats,
             accumulate_real_fid_stats,
             make_gan_fid_fns,
         )
@@ -482,15 +484,11 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         if fid_enabled and \
                 ((i > start and i % fid_every == 0) or i == cfg.iterations - 1):
             ema_vars = export_generator_vars(state, g_extras)
-            stats_fake = FeatureStats(max_items=fid_samples)
-            j = 0
+            # Fresh draws per eval point, on the tag-rooted stream.
             fid_base = jax.random.fold_in(base_rng, _FID_TAG)
-            while stats_fake.num_items < fid_samples:
-                # Fresh draws per eval point, on the tag-rooted stream.
-                k = jax.random.fold_in(jax.random.fold_in(fid_base, i), j)
-                stats_fake.append(np.asarray(
-                    detector(fake_images_fn(ema_vars, k))))
-                j += 1
+            stats_fake = accumulate_fake_fid_stats(
+                detector, fake_images_fn, ema_vars,
+                jax.random.fold_in(fid_base, i), fid_samples)
             fid = fid_from_stats(stats_real, stats_fake)
             logger.info(json.dumps({"iteration": i, "fid": fid}))
             click.echo(f"it {i}: fid={fid:.3f} "

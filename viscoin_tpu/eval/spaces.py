@@ -75,12 +75,31 @@ def _run_over(models: VisCoINModels, dataset, batch_size: int, what: str,
     return np.concatenate(out, axis=0)
 
 
+def _cache_path(cache_dir: str, dataset_name: str, train_ds) -> str:
+    """Cache file under ``cache_dir`` keyed by the dataset's short name.
+    ``dataset_name`` may be an image-folder PATH (the CLI accepts directory
+    datasets) — interpolating it raw would resolve os.path.join to a file
+    NEXT TO the dataset root (absolute paths win the join) or into a
+    never-created subdirectory; dataset_key() reduces it to the basename,
+    the same convention default_checkpoints() uses. Non-default decode
+    resolutions (--image-size) join the key: the cached arrays' SHAPES are
+    resolution-independent, so a stale 256² cache would otherwise silently
+    satisfy a 512² run."""
+    from viscoin_tpu.data.utils import dataset_key
+
+    key = dataset_key(dataset_name)
+    size = getattr(train_ds, "out_size", 256)
+    if size != 256:
+        key = f"{key}_{size}"
+    return os.path.join(cache_dir, f"{key}.npz")
+
+
 def compute_concept_space(models: VisCoINModels, dataset_name: str,
                           train_ds, test_ds, batch_size: int = SPACES_BATCH_SIZE,
                           cache_dir: str = "checkpoints/concepts", mesh=None):
     """Phi over both splits, cached (reference: models/utils.py:108-174).
     Returns NHWC (N, 3, 3, K) arrays."""
-    cache = os.path.join(cache_dir, f"{dataset_name}.npz")
+    cache = _cache_path(cache_dir, dataset_name, train_ds)
     if os.path.exists(cache):
         data = np.load(cache)
         return data["train"], data["test"]
@@ -96,7 +115,7 @@ def compute_w_space(models: VisCoINModels, dataset_name: str,
                     cache_dir: str = "checkpoints/gan-w", mesh=None):
     """W+ over both splits, cached (reference: models/utils.py:27-106).
     Returns (N, num_ws, w_dim) arrays."""
-    cache = os.path.join(cache_dir, f"{dataset_name}.npz")
+    cache = _cache_path(cache_dir, dataset_name, train_ds)
     if os.path.exists(cache):
         data = np.load(cache)
         return data["train"], data["test"]

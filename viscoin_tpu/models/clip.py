@@ -195,13 +195,20 @@ def clip_preprocess_pil(raw_u8: "np.ndarray") -> "np.ndarray":
 
 
 def _img_cache(mode: str, dataset: str, kind: str) -> str:
+    # dataset may be an image-folder PATH — key caches by its basename
+    # (dataset_key), or the filename would embed path separators and
+    # scatter caches into never-created subdirectories of checkpoints/clip.
+    from viscoin_tpu.data.utils import dataset_key
+
     kind = kind.replace("/", "-")
-    return f"checkpoints/clip/{kind}_{dataset}_img_{mode}.npz"
+    return f"checkpoints/clip/{kind}_{dataset_key(dataset)}_img_{mode}.npz"
 
 
 def _txt_cache(key: str, dataset: str, kind: str) -> str:
+    from viscoin_tpu.data.utils import dataset_key
+
     kind = kind.replace("/", "-")
-    return f"checkpoints/clip/{kind}_{dataset}_txt_{key}.npz"
+    return f"checkpoints/clip/{kind}_{dataset_key(dataset)}_txt_{key}.npz"
 
 
 def compute_image_embeddings(clip: CLIP, dataset_name: str, train_ds, test_ds,

@@ -36,21 +36,31 @@ def _build_and_load():
     out = os.path.join(os.path.dirname(__file__), f"libvctransform-{digest}.so")
     try:
         if not os.path.exists(out):
-            # Sweep builds of older source revisions (incl. the legacy
-            # un-hashed name) so the directory holds exactly one binary.
+            # Sweep builds of OLDER source revisions (incl. the legacy
+            # un-hashed name) — never the current digest's file: a sibling
+            # process (pytest worker, concurrent CLI) may have just built
+            # it, and removing a binary between its g++ and its CDLL would
+            # ENOENT that process.
             import glob
 
             for stale in glob.glob(os.path.join(os.path.dirname(__file__),
                                                 "libvctransform*.so")):
+                if stale == out:
+                    continue
                 try:
                     os.remove(stale)
                 except OSError:
                     pass
+            # Build to a process-private temp name, then atomically rename:
+            # two processes building concurrently each write their own file
+            # and the renames race harmlessly (same content, same digest).
+            tmp = f"{out}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 src, "-o", out],
+                 src, "-o", tmp],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, out)
         lib = ctypes.CDLL(out)
         lib.vct_transform_batch.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),  # srcs

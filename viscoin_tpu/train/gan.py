@@ -257,6 +257,26 @@ def accumulate_real_fid_stats(detector, real_images_fn, dataset,
     return stats
 
 
+def accumulate_fake_fid_stats(detector, fake_images_fn, gvars, base_key,
+                              max_items: int):
+    """Fake-side FID moments: fresh z batches through ``fake_images_fn``
+    keyed ``fold_in(base_key, j)`` per batch, truncated at ``max_items``
+    (FeatureStats clips the final batch's overshoot). The counterpart of
+    :func:`accumulate_real_fid_stats`, shared by ``train gan --fid-every``
+    and the offline ``fid`` command so the two surfaces' sampling semantics
+    cannot desync — callers differ only in ``base_key`` (the offline command
+    roots at PRNGKey(seed); the in-loop metric at a tag+iteration fold)."""
+    from viscoin_tpu.eval.fid import FeatureStats
+
+    stats = FeatureStats(max_items=max_items)
+    j = 0
+    while stats.num_items < max_items:
+        stats.append(np.asarray(
+            detector(fake_images_fn(gvars, jax.random.fold_in(base_key, j)))))
+        j += 1
+    return stats
+
+
 def make_gan_snapshot_fn(generator, n_images: int):
     """u8 EMA-sample batch for training snapshots (the upstream trainer
     writes a fakes png grid every tick from FIXED grid latents — callers

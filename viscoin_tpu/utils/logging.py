@@ -18,13 +18,24 @@ def get_logger():
 
 def configure_score_logging(log_path: str):
     """Log bare INFO messages to a file, overwriting it (reference behavior:
-    filemode='w', format='%(message)s')."""
+    filemode='w', format='%(message)s').
+
+    Multi-host: only process 0 attaches the file handler — every process
+    calls this at subcommand start, and N processes opening the SAME
+    relative path with mode='w' would truncate/interleave each other's
+    records (a slow-starting rank would erase rank 0's first records).
+    Non-zero ranks keep a handler-less logger, so their ``.info`` calls are
+    dropped instead of racing."""
     logger = logging.getLogger(_LOGGER_NAME)
     logger.setLevel(logging.INFO)
     logger.propagate = False
     for handler in list(logger.handlers):
         logger.removeHandler(handler)
         handler.close()
+    import jax
+
+    if jax.process_index() != 0:
+        return
     handler = logging.FileHandler(log_path, mode="w")
     handler.setFormatter(logging.Formatter("%(message)s"))
     logger.addHandler(handler)
