@@ -155,3 +155,42 @@ def test_cli_fid_zero_samples_refused(tmp_path, monkeypatch):
         "--samples", "0", "--batch-size", "4", "--fid-detector", "fakedet"])
     assert result.exit_code != 0
     assert "--samples" in result.output
+
+
+def test_cli_fid_kid_metric(tmp_path, monkeypatch):
+    """--metric kid (repeatable with fid): both metrics computed over the
+    SAME detector features; fid-only output omits the kid key."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+
+    def fake_loader(path):
+        return lambda images: np.asarray(images).reshape(
+            images.shape[0], -1)[:, :8]
+
+    monkeypatch.setattr(cli_train, "_load_fid_detector", fake_loader)
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    args = ["fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset",
+            "synthetic", "--samples", "8", "--batch-size", "4",
+            "--fid-detector", "fakedet"]
+    result = CliRunner().invoke(main, args + ["--metric", "fid",
+                                              "--metric", "kid"])
+    assert result.exit_code == 0, result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert np.isfinite(out["fid"]) and np.isfinite(out["kid"])
+
+    result = CliRunner().invoke(main, args)  # default: fid only
+    assert result.exit_code == 0, result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert "kid" not in out and np.isfinite(out["fid"])

@@ -315,3 +315,62 @@ def test_compute_spaces_path_dataset_cache_location(models, tmp_path):
     assert (cache_dir / f"celeba_{IMG}.npz").exists()
     assert sorted(os.listdir(cache_dir)) == [f"celeba_{IMG}.npz"]
     assert not (tmp_path / "data").exists()  # nothing near the dataset root
+
+
+def test_kid_matches_naive_mmd_oracle(rng):
+    """kernel_inception_distance == a from-scratch O(m²) pairwise MMD² sum
+    (unbiased estimator, cubic kernel) on one full-set subset."""
+    from viscoin_tpu.eval.fid import kernel_inception_distance
+
+    m, d = 7, 5
+    real = rng.standard_normal((m, d))
+    fake = rng.standard_normal((m, d)) + 0.5
+
+    def k(a, b):
+        return (float(a @ b) / d + 1.0) ** 3
+
+    # independent slow oracle: explicit pair loops
+    xx = sum(k(fake[i], fake[j]) for i in range(m) for j in range(m) if i != j)
+    yy = sum(k(real[i], real[j]) for i in range(m) for j in range(m) if i != j)
+    xy = sum(k(fake[i], real[j]) for i in range(m) for j in range(m))
+    oracle = (xx / (m - 1) + yy / (m - 1) - 2.0 * xy / m) / m
+
+    got = kernel_inception_distance(real, fake, num_subsets=1,
+                                    max_subset_size=m)
+    np.testing.assert_allclose(got, oracle, rtol=1e-10)
+
+
+def test_kid_zero_same_distribution_positive_shifted(rng):
+    """KID ~ 0 (unbiased: may be slightly negative) for two samples of the
+    same distribution; clearly positive for a mean-shifted one; deterministic
+    in seed."""
+    from viscoin_tpu.eval.fid import kernel_inception_distance
+
+    a = rng.standard_normal((400, 16))
+    b = rng.standard_normal((400, 16))
+    same = kernel_inception_distance(a, b, num_subsets=20, max_subset_size=200)
+    shifted = kernel_inception_distance(a, b + 1.0, num_subsets=20,
+                                        max_subset_size=200)
+    assert abs(same) < 0.05
+    assert shifted > 10 * abs(same)
+    again = kernel_inception_distance(a, b, num_subsets=20,
+                                      max_subset_size=200)
+    assert same == again  # seeded subset draws
+
+
+def test_feature_stats_capture_all(rng):
+    """capture_all retains raw rows (max_items-truncated, moments unchanged);
+    get_all without capture_all refuses with a pointer."""
+    from viscoin_tpu.eval.fid import FeatureStats
+
+    x = rng.standard_normal((10, 4))
+    s = FeatureStats(max_items=7, capture_all=True)
+    s.append(x[:5])
+    s.append(x[5:])
+    np.testing.assert_array_equal(s.get_all(), x[:7].astype(np.float64))
+    ref = FeatureStats(max_items=7)
+    ref.append(x)
+    np.testing.assert_allclose(s.get_mean_cov()[0], ref.get_mean_cov()[0])
+
+    with pytest.raises(ValueError, match="capture_all"):
+        FeatureStats().get_all()

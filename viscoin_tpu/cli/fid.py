@@ -1,4 +1,5 @@
-"""`fid` command: offline FID of a generator vs a dataset.
+"""`fid` command: offline FID (and optionally KID) of a generator vs a
+dataset.
 
 The stylegan2-ada ecosystem's ``calc_metrics.py`` analogue — the reference
 consumes GAN pickles selected BY this metric (reference
@@ -36,16 +37,23 @@ from viscoin_tpu.cli.utils import dataset, device
                    "at a fixed value)")
 @click.option("--batch-size", default=64, show_default=True)
 @click.option("--seed", default=0, show_default=True)
+@click.option("--metric", "metrics", multiple=True,
+              type=click.Choice(["fid", "kid"]), default=("fid",),
+              show_default=True,
+              help="Metric(s) over the same detector features (repeatable): "
+                   "fid (Fréchet) and/or kid (kernel inception distance, the "
+                   "upstream kid50k_full analogue — unbiased at small sample "
+                   "counts, the metric of choice for CUB-sized datasets)")
 def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
-        seed):
-    """Offline FID of a (trained or ported) generator vs a dataset."""
+        seed, metrics):
+    """Offline FID/KID of a (trained or ported) generator vs a dataset."""
     import os
 
     import jax
 
     from viscoin_tpu.cli.train import _load_fid_detector
     from viscoin_tpu.data.utils import get_datasets
-    from viscoin_tpu.eval.fid import fid_from_stats
+    from viscoin_tpu.eval.fid import fid_from_stats, kid_from_stats
     from viscoin_tpu.models.stylegan import (
         Generator,
         generator_config_from_params,
@@ -90,17 +98,24 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         raise click.UsageError(
             f"dataset has {len(train_ds)} images < --batch-size {batch_size}: "
             "no full real-side batch can be formed (lower --batch-size)")
+    want_kid = "kid" in metrics  # KID works on raw features, not moments
     stats_real = accumulate_real_fid_stats(detector, real_images_fn, train_ds,
-                                           batch_size, samples)
+                                           batch_size, samples,
+                                           capture_all=want_kid)
 
     # The restored tree holds host numpy leaves — place it once, or jit
     # re-transfers every generator param on each fake batch (CLAUDE.md: the
     # relay tunnel moves bulk data at ~25 MB/s).
     gvars = jax.device_put(gvars)
     stats_fake = accumulate_fake_fid_stats(detector, fake_images_fn, gvars,
-                                           jax.random.PRNGKey(seed), samples)
+                                           jax.random.PRNGKey(seed), samples,
+                                           capture_all=want_kid)
 
-    value = fid_from_stats(stats_real, stats_fake)
-    print(json.dumps({"fid": value, "samples": samples,
+    out = {}
+    if "fid" in metrics:
+        out["fid"] = fid_from_stats(stats_real, stats_fake)
+    if want_kid:
+        out["kid"] = kid_from_stats(stats_real, stats_fake, seed=seed)
+    print(json.dumps({**out, "samples": samples,
                       "real_items": stats_real.num_items,
                       "dataset": str(dataset), "gan": str(gan_path)}))

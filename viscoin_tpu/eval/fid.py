@@ -14,13 +14,19 @@ import numpy as np
 
 class FeatureStats:
     """Streaming mean + covariance accumulator (reference: stylegan2_ada
-    metrics/metric_utils.py::FeatureStats, capture_mean_cov path)."""
+    metrics/metric_utils.py::FeatureStats, capture_mean_cov path).
 
-    def __init__(self, max_items: int | None = None):
+    ``capture_all=True`` additionally retains the raw feature rows (the
+    upstream capture_all path) — required by KID, whose unbiased MMD
+    estimator works on samples, not moments."""
+
+    def __init__(self, max_items: int | None = None,
+                 capture_all: bool = False):
         self.max_items = max_items
         self.num_items = 0
         self._sum = None
         self._outer = None
+        self._all: list[np.ndarray] | None = [] if capture_all else None
 
     def append(self, features: np.ndarray):
         x = np.asarray(features, np.float64)
@@ -37,6 +43,15 @@ class FeatureStats:
         self.num_items += x.shape[0]
         self._sum += x.sum(axis=0)
         self._outer += x.T @ x
+        if self._all is not None:
+            self._all.append(x)
+
+    def get_all(self) -> np.ndarray:
+        """The captured (num_items, dim) feature matrix (capture_all only)."""
+        if self._all is None:
+            raise ValueError("FeatureStats was not built with capture_all "
+                             "(KID needs raw features, not moments)")
+        return np.concatenate(self._all, axis=0)
 
     def append_moments(self, sum_x: np.ndarray, outer: np.ndarray, n: float):
         """Accumulate precomputed per-batch moments (Σx, Σxxᵀ, count) —
@@ -75,3 +90,46 @@ def fid_from_stats(stats_real: FeatureStats, stats_fake: FeatureStats) -> float:
     mu_r, sig_r = stats_real.get_mean_cov()
     mu_f, sig_f = stats_fake.get_mean_cov()
     return frechet_distance(mu_r, sig_r, mu_f, sig_f)
+
+
+def kernel_inception_distance(real: np.ndarray, fake: np.ndarray,
+                              num_subsets: int = 100,
+                              max_subset_size: int = 1000,
+                              seed: int = 0) -> float:
+    """KID: unbiased MMD² with the cubic polynomial kernel
+    k(x, y) = (xᵀy/d + 1)³ (Bińkowski et al., "Demystifying MMD GANs" —
+    the stylegan2-ada ecosystem's kid50k_full metric, the small-dataset
+    companion of FID: its estimator is UNBIASED at small sample counts,
+    where FID's moment estimates are systematically high; CUB at ~6k images
+    is exactly that regime). Averaged over ``num_subsets`` random
+    without-replacement subsets of size min(len(real), len(fake),
+    max_subset_size), matching the upstream estimator's defaults;
+    deterministic in ``seed``. Can be slightly negative (unbiasedness)."""
+    real = np.asarray(real, np.float64)
+    fake = np.asarray(fake, np.float64)
+    assert real.ndim == 2 and fake.ndim == 2 and real.shape[1] == fake.shape[1]
+    d = real.shape[1]
+    m = min(real.shape[0], fake.shape[0], max_subset_size)
+    if m < 2:
+        raise ValueError(f"KID needs ≥2 samples per side, got {m}")
+    rng = np.random.default_rng(seed)
+    total = 0.0
+    for _ in range(num_subsets):
+        x = fake[rng.choice(fake.shape[0], m, replace=False)]
+        y = real[rng.choice(real.shape[0], m, replace=False)]
+        kxx = (x @ x.T / d + 1.0) ** 3
+        kyy = (y @ y.T / d + 1.0) ** 3
+        kxy = (x @ y.T / d + 1.0) ** 3
+        # Unbiased estimator: within-set terms exclude the diagonal.
+        total += ((kxx.sum() - np.trace(kxx)) / (m - 1)
+                  + (kyy.sum() - np.trace(kyy)) / (m - 1)
+                  - 2.0 * kxy.sum() / m)
+    return float(total / num_subsets / m)
+
+
+def kid_from_stats(stats_real: FeatureStats, stats_fake: FeatureStats,
+                   num_subsets: int = 100, max_subset_size: int = 1000,
+                   seed: int = 0) -> float:
+    return kernel_inception_distance(stats_real.get_all(),
+                                     stats_fake.get_all(),
+                                     num_subsets, max_subset_size, seed)

@@ -237,17 +237,19 @@ def make_gan_fid_fns(generator, batch_size: int):
 
 
 def accumulate_real_fid_stats(detector, real_images_fn, dataset,
-                              batch_size: int, max_items: int):
+                              batch_size: int, max_items: int,
+                              capture_all: bool = False):
     """Real-side FID moments: one deterministic (unshuffled) pass over
     ``dataset`` through ``real_images_fn`` + ``detector``, truncated at
     ``max_items``. Partial tail batches are skipped for jit shape stability
     (a rounding error at FID sample counts). Shared by the in-loop
     ``train gan --fid-every`` metric and the offline ``fid`` command so the
-    two stay in semantic lockstep."""
+    two stay in semantic lockstep. ``capture_all`` retains raw features
+    (needed when the caller also computes KID)."""
     from viscoin_tpu.data.loader import DataLoader
     from viscoin_tpu.eval.fid import FeatureStats
 
-    stats = FeatureStats(max_items=max_items)
+    stats = FeatureStats(max_items=max_items, capture_all=capture_all)
     for images, _ in DataLoader(dataset, batch_size, shuffle=False):
         if images.shape[0] != batch_size:
             continue
@@ -258,7 +260,7 @@ def accumulate_real_fid_stats(detector, real_images_fn, dataset,
 
 
 def accumulate_fake_fid_stats(detector, fake_images_fn, gvars, base_key,
-                              max_items: int):
+                              max_items: int, capture_all: bool = False):
     """Fake-side FID moments: fresh z batches through ``fake_images_fn``
     keyed ``fold_in(base_key, j)`` per batch, truncated at ``max_items``
     (FeatureStats clips the final batch's overshoot). The counterpart of
@@ -268,7 +270,7 @@ def accumulate_fake_fid_stats(detector, fake_images_fn, gvars, base_key,
     roots at PRNGKey(seed); the in-loop metric at a tag+iteration fold)."""
     from viscoin_tpu.eval.fid import FeatureStats
 
-    stats = FeatureStats(max_items=max_items)
+    stats = FeatureStats(max_items=max_items, capture_all=capture_all)
     j = 0
     while stats.num_items < max_items:
         stats.append(np.asarray(
