@@ -194,3 +194,36 @@ def test_cli_fid_kid_metric(tmp_path, monkeypatch):
     assert result.exit_code == 0, result.output
     out = json.loads(result.output.strip().splitlines()[-1])
     assert "kid" not in out and np.isfinite(out["fid"])
+
+
+def test_cli_fid_ppl_metric(tmp_path, monkeypatch):
+    """--metric ppl: needs only the generator + LPIPS weights (no dataset
+    pass, no FID detector); refused with a pointer when LPIPS weights are
+    absent."""
+    monkeypatch.chdir(tmp_path)
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+    from main import main
+
+    args = ["fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset",
+            "synthetic", "--samples", "8", "--batch-size", "4",
+            "--metric", "ppl"]
+    result = CliRunner().invoke(main, args)  # no LPIPS weights yet
+    assert result.exit_code != 0
+    assert "lpips-vgg" in result.output
+
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1, 32, 32, 3)))["params"]
+    save_pytree(lparams, str(tmp_path / "checkpoints" / "lpips-vgg"))
+    result = CliRunner().invoke(main, args)
+    assert result.exit_code == 0, result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert np.isfinite(out["ppl"]) and "fid" not in out

@@ -374,3 +374,42 @@ def test_feature_stats_capture_all(rng):
 
     with pytest.raises(ValueError, match="capture_all"):
         FeatureStats().get_all()
+
+
+def test_ppl_sampler_and_filter(rng):
+    """PPL sampler: finite positive distances, deterministic in key, distinct
+    across keys; the percentile filter matches a from-scratch oracle."""
+    from viscoin_tpu.eval.ppl import (
+        compute_ppl,
+        make_ppl_sampler,
+        ppl_from_distances,
+    )
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+
+    gen = Generator(z_dim=8, w_dim=16, img_resolution=32, mapping_layers=2,
+                    channel_base=256, channel_max=16)
+    gvars = gen.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8)),
+                     noise_mode="const")
+    lpips = LPIPS()
+    lparams = lpips.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1, 32, 32, 3)))["params"]
+
+    sampler = make_ppl_sampler(gen, lpips, batch_size=4)
+    d1 = np.asarray(sampler(gvars, lparams, jax.random.PRNGKey(7)))
+    d2 = np.asarray(sampler(gvars, lparams, jax.random.PRNGKey(7)))
+    d3 = np.asarray(sampler(gvars, lparams, jax.random.PRNGKey(8)))
+    assert d1.shape == (4,) and np.isfinite(d1).all() and (d1 >= 0).all()
+    np.testing.assert_array_equal(d1, d2)
+    assert not np.array_equal(d1, d3)
+
+    # percentile filter oracle
+    dists = rng.standard_normal(500) ** 2
+    lo, hi = np.percentile(dists, 1), np.percentile(dists, 99)
+    oracle = dists[(dists >= lo) & (dists <= hi)].mean()
+    np.testing.assert_allclose(ppl_from_distances(dists), oracle)
+
+    # end to end: deterministic in seed
+    p1 = compute_ppl(gen, gvars, lpips, lparams, n_samples=8, batch_size=4)
+    p2 = compute_ppl(gen, gvars, lpips, lparams, n_samples=8, batch_size=4)
+    assert np.isfinite(p1) and p1 == p2

@@ -1,16 +1,16 @@
-"""`fid` command: offline FID (and optionally KID) of a generator vs a
-dataset.
+"""`fid` command: offline GAN metrics (FID / KID / PPL) of a generator.
 
 The stylegan2-ada ecosystem's ``calc_metrics.py`` analogue — the reference
-consumes GAN pickles selected BY this metric (reference
+consumes GAN pickles selected BY these metrics (reference
 viscoin/cli/train.py:202-205), and `train gan`'s multi-host FID refusal
 points here. Works on a ``train gan`` export or a
 ``port_weights.py stylegan`` port; the generator's architecture is inferred
 from the checkpoint (``generator_config_from_params``), so no shape flags
-are needed. Real-side moments come from one deterministic pass over the
-TRAIN split (fid50k_full semantics: the training distribution), fake-side
-samples from fresh z through the generator, both through the same
-[0,1] → ImageNet adapter and the pluggable FID detector."""
+are needed. FID/KID: real-side features come from one deterministic pass
+over the TRAIN split (fid50k_full semantics: the training distribution),
+fake-side samples from fresh z through the generator, both through the same
+[0,1] → ImageNet adapter and the pluggable FID detector. PPL needs no
+dataset or detector — only the generator and LPIPS weights (eval/ppl.py)."""
 
 from __future__ import annotations
 
@@ -38,30 +38,26 @@ from viscoin_tpu.cli.utils import dataset, device
 @click.option("--batch-size", default=64, show_default=True)
 @click.option("--seed", default=0, show_default=True)
 @click.option("--metric", "metrics", multiple=True,
-              type=click.Choice(["fid", "kid"]), default=("fid",),
+              type=click.Choice(["fid", "kid", "ppl"]), default=("fid",),
               show_default=True,
-              help="Metric(s) over the same detector features (repeatable): "
-                   "fid (Fréchet) and/or kid (kernel inception distance, the "
-                   "upstream kid50k_full analogue — unbiased at small sample "
-                   "counts, the metric of choice for CUB-sized datasets)")
+              help="Metric(s), repeatable. fid (Fréchet) and kid (kernel "
+                   "inception distance, the upstream kid50k_full analogue — "
+                   "unbiased at small sample counts, the metric of choice "
+                   "for CUB-sized datasets) share one pass over the same "
+                   "detector features; ppl (perceptual path length, the "
+                   "ppl2_wend analogue) measures W-space smoothness via "
+                   "LPIPS and needs checkpoints/lpips-vgg instead of a "
+                   "dataset/detector")
 def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         seed, metrics):
-    """Offline FID/KID of a (trained or ported) generator vs a dataset."""
+    """Offline FID/KID/PPL of a (trained or ported) generator."""
     import os
 
     import jax
 
-    from viscoin_tpu.cli.train import _load_fid_detector
-    from viscoin_tpu.data.utils import get_datasets
-    from viscoin_tpu.eval.fid import fid_from_stats, kid_from_stats
     from viscoin_tpu.models.stylegan import (
         Generator,
         generator_config_from_params,
-    )
-    from viscoin_tpu.train.gan import (
-        accumulate_fake_fid_stats,
-        accumulate_real_fid_stats,
-        make_gan_fid_fns,
     )
     from viscoin_tpu.utils import checkpoints as ckpt
 
@@ -70,52 +66,80 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
     gvars = ckpt.restore_pytree(gan_path)
     cfg = generator_config_from_params(gvars["params"])
     generator = Generator(**cfg)
-
-    detector_path = fid_detector_path or "checkpoints/inception"
-    if not os.path.exists(detector_path):
-        raise click.UsageError(
-            f"no FID detector at {detector_path} (port weights with "
-            "scripts/port_weights.py inception / inception-nvlabs, or pass "
-            "--fid-detector)")
-    detector = _load_fid_detector(detector_path)
-    fake_images_fn, real_images_fn = make_gan_fid_fns(generator, batch_size)
-
-    # Real side: deterministic pass over the training distribution with the
-    # SAME geometry `train gan` feeds the discriminator (transform="gan":
-    # full-short-side center crop + resize — upstream calc_metrics.py
-    # fid50k_full consumes raw dataset-zip images, never classifier-style
-    # random crops); the dataset decodes at the generator's resolution
-    # (image-folder roots honor out_size; fixed-geometry registry datasets
-    # must already match).
     res = cfg["img_resolution"]
-    kwargs = {"out_size": res} if os.path.isdir(dataset) else {}
-    train_ds, _ = get_datasets(dataset, "gan", train_only=True, **kwargs)
-    if train_ds.out_size != res:
-        raise click.UsageError(
-            f"dataset decodes at {train_ds.out_size}² but the generator is "
-            f"{res}² — FID sides must see the same resolution")
-    if len(train_ds) < batch_size:
-        raise click.UsageError(
-            f"dataset has {len(train_ds)} images < --batch-size {batch_size}: "
-            "no full real-side batch can be formed (lower --batch-size)")
     want_kid = "kid" in metrics  # KID works on raw features, not moments
-    stats_real = accumulate_real_fid_stats(detector, real_images_fn, train_ds,
-                                           batch_size, samples,
-                                           capture_all=want_kid)
-
-    # The restored tree holds host numpy leaves — place it once, or jit
-    # re-transfers every generator param on each fake batch (CLAUDE.md: the
-    # relay tunnel moves bulk data at ~25 MB/s).
-    gvars = jax.device_put(gvars)
-    stats_fake = accumulate_fake_fid_stats(detector, fake_images_fn, gvars,
-                                           jax.random.PRNGKey(seed), samples,
-                                           capture_all=want_kid)
-
     out = {}
-    if "fid" in metrics:
-        out["fid"] = fid_from_stats(stats_real, stats_fake)
-    if want_kid:
-        out["kid"] = kid_from_stats(stats_real, stats_fake, seed=seed)
+
+    if "fid" in metrics or want_kid:
+        from viscoin_tpu.cli.train import _load_fid_detector
+        from viscoin_tpu.data.utils import get_datasets
+        from viscoin_tpu.eval.fid import fid_from_stats, kid_from_stats
+        from viscoin_tpu.train.gan import (
+            accumulate_fake_fid_stats,
+            accumulate_real_fid_stats,
+            make_gan_fid_fns,
+        )
+
+        detector_path = fid_detector_path or "checkpoints/inception"
+        if not os.path.exists(detector_path):
+            raise click.UsageError(
+                f"no FID detector at {detector_path} (port weights with "
+                "scripts/port_weights.py inception / inception-nvlabs, or "
+                "pass --fid-detector)")
+        detector = _load_fid_detector(detector_path)
+        fake_images_fn, real_images_fn = make_gan_fid_fns(generator,
+                                                          batch_size)
+
+        # Real side: deterministic pass over the training distribution with
+        # the SAME geometry `train gan` feeds the discriminator
+        # (transform="gan": full-short-side center crop + resize — upstream
+        # calc_metrics.py fid50k_full consumes raw dataset-zip images, never
+        # classifier-style random crops); the dataset decodes at the
+        # generator's resolution (image-folder roots honor out_size;
+        # fixed-geometry registry datasets must already match).
+        kwargs = {"out_size": res} if os.path.isdir(dataset) else {}
+        train_ds, _ = get_datasets(dataset, "gan", train_only=True, **kwargs)
+        if train_ds.out_size != res:
+            raise click.UsageError(
+                f"dataset decodes at {train_ds.out_size}² but the generator "
+                f"is {res}² — FID sides must see the same resolution")
+        if len(train_ds) < batch_size:
+            raise click.UsageError(
+                f"dataset has {len(train_ds)} images < --batch-size "
+                f"{batch_size}: no full real-side batch can be formed "
+                "(lower --batch-size)")
+        stats_real = accumulate_real_fid_stats(detector, real_images_fn,
+                                               train_ds, batch_size, samples,
+                                               capture_all=want_kid)
+
+        # The restored tree holds host numpy leaves — place it once, or jit
+        # re-transfers every generator param on each fake batch (CLAUDE.md:
+        # the relay tunnel moves bulk data at ~25 MB/s).
+        gvars = jax.device_put(gvars)
+        stats_fake = accumulate_fake_fid_stats(
+            detector, fake_images_fn, gvars, jax.random.PRNGKey(seed),
+            samples, capture_all=want_kid)
+
+        if "fid" in metrics:
+            out["fid"] = fid_from_stats(stats_real, stats_fake)
+        if want_kid:
+            out["kid"] = kid_from_stats(stats_real, stats_fake, seed=seed)
+        out["real_items"] = stats_real.num_items
+
+    if "ppl" in metrics:
+        from viscoin_tpu.eval.ppl import compute_ppl
+        from viscoin_tpu.models.lpips import LPIPS
+
+        lpips_path = "checkpoints/lpips-vgg"
+        if not os.path.exists(lpips_path):
+            raise click.UsageError(
+                "--metric ppl needs LPIPS weights at checkpoints/lpips-vgg "
+                "(port with scripts/port_weights.py lpips) — PPL through a "
+                "random VGG is meaningless")
+        gvars = jax.device_put(gvars)
+        out["ppl"] = compute_ppl(generator, gvars, LPIPS(),
+                                 ckpt.restore_pytree(lpips_path), samples,
+                                 batch_size, seed=seed)
+
     print(json.dumps({**out, "samples": samples,
-                      "real_items": stats_real.num_items,
                       "dataset": str(dataset), "gan": str(gan_path)}))
