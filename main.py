@@ -24,6 +24,7 @@ from viscoin_tpu.cli.amplify_pca import amplify_pca  # noqa: E402
 from viscoin_tpu.cli.concept_heatmaps import concept_heatmaps  # noqa: E402
 from viscoin_tpu.cli.concepts import concepts  # noqa: E402
 from viscoin_tpu.cli.fid import fid  # noqa: E402
+from viscoin_tpu.cli.generate import generate  # noqa: E402
 from viscoin_tpu.cli.logs import logs  # noqa: E402
 from viscoin_tpu.cli.serve import export_serving_cmd, serve  # noqa: E402
 from viscoin_tpu.cli.test import test  # noqa: E402
@@ -56,6 +57,7 @@ main.add_command(amplify_pca)
 main.add_command(serve)
 main.add_command(export_serving_cmd)
 main.add_command(fid)
+main.add_command(generate)
 
 
 if __name__ == "__main__":

@@ -227,3 +227,36 @@ def test_cli_fid_ppl_metric(tmp_path, monkeypatch):
     assert result.exit_code == 0, result.output
     out = json.loads(result.output.strip().splitlines()[-1])
     assert np.isfinite(out["ppl"]) and "fid" not in out
+
+
+def test_cli_fid_pr_metric(tmp_path, monkeypatch):
+    """--metric pr: precision/recall over the same detector features."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import viscoin_tpu.cli.train as cli_train
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+
+    def fake_loader(path):
+        return lambda images: np.asarray(images).reshape(
+            images.shape[0], -1)[:, :8]
+
+    monkeypatch.setattr(cli_train, "_load_fid_detector", fake_loader)
+    (tmp_path / "fakedet").mkdir()
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset", "synthetic",
+        "--samples", "8", "--batch-size", "4", "--fid-detector", "fakedet",
+        "--metric", "pr"])
+    assert result.exit_code == 0, result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert 0.0 <= out["precision"] <= 1.0 and 0.0 <= out["recall"] <= 1.0
+    assert "fid" not in out

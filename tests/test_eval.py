@@ -413,3 +413,36 @@ def test_ppl_sampler_and_filter(rng):
     p1 = compute_ppl(gen, gvars, lpips, lparams, n_samples=8, batch_size=4)
     p2 = compute_ppl(gen, gvars, lpips, lparams, n_samples=8, batch_size=4)
     assert np.isfinite(p1) and p1 == p2
+
+
+def test_precision_recall_oracle_and_extremes(rng):
+    """precision_recall vs a naive all-pairs oracle on a tiny set; identical
+    sets score (1, 1); far-apart clusters score (0, 0); blocked row batches
+    don't change the result; too-few samples refused."""
+    from viscoin_tpu.eval.fid import precision_recall
+
+    real = rng.standard_normal((20, 6)).astype(np.float32)
+    fake = rng.standard_normal((16, 6)).astype(np.float32) * 1.3
+
+    # naive oracle: explicit pairwise distances + k-th NN radii
+    def dmat(a, b):
+        return np.sqrt(((a[:, None] - b[None]) ** 2).sum(-1))
+
+    k = 3
+    r_real = np.sort(dmat(real, real), axis=1)[:, k]  # col 0 is self
+    r_fake = np.sort(dmat(fake, fake), axis=1)[:, k]
+    prec = np.mean(np.any(dmat(fake, real) <= r_real[None, :], axis=1))
+    rec = np.mean(np.any(dmat(real, fake) <= r_fake[None, :], axis=1))
+
+    got_p, got_r = precision_recall(real, fake)
+    np.testing.assert_allclose((got_p, got_r), (prec, rec), atol=1e-6)
+    # blocking is an implementation detail
+    np.testing.assert_allclose(
+        precision_recall(real, fake, row_batch=5), (got_p, got_r), atol=1e-6)
+
+    assert precision_recall(real, real) == (1.0, 1.0)
+    p0, r0 = precision_recall(real, fake + 100.0)
+    assert (p0, r0) == (0.0, 0.0)
+
+    with pytest.raises(ValueError, match="nhood_size"):
+        precision_recall(real[:3], fake)

@@ -38,15 +38,17 @@ from viscoin_tpu.cli.utils import dataset, device
 @click.option("--batch-size", default=64, show_default=True)
 @click.option("--seed", default=0, show_default=True)
 @click.option("--metric", "metrics", multiple=True,
-              type=click.Choice(["fid", "kid", "ppl"]), default=("fid",),
-              show_default=True,
-              help="Metric(s), repeatable. fid (Fréchet) and kid (kernel "
+              type=click.Choice(["fid", "kid", "pr", "ppl"]),
+              default=("fid",), show_default=True,
+              help="Metric(s), repeatable. fid (Fréchet), kid (kernel "
                    "inception distance, the upstream kid50k_full analogue — "
                    "unbiased at small sample counts, the metric of choice "
-                   "for CUB-sized datasets) share one pass over the same "
-                   "detector features; ppl (perceptual path length, the "
-                   "ppl2_wend analogue) measures W-space smoothness via "
-                   "LPIPS and needs checkpoints/lpips-vgg instead of a "
+                   "for CUB-sized datasets) and pr (improved "
+                   "precision/recall, the pr50k3 analogue — fidelity vs "
+                   "coverage) share one pass over the same detector "
+                   "features; ppl (perceptual path length, the ppl2_wend "
+                   "analogue) measures W-space smoothness via LPIPS and "
+                   "needs checkpoints/lpips-vgg instead of a "
                    "dataset/detector")
 def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         seed, metrics):
@@ -67,13 +69,18 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
     cfg = generator_config_from_params(gvars["params"])
     generator = Generator(**cfg)
     res = cfg["img_resolution"]
-    want_kid = "kid" in metrics  # KID works on raw features, not moments
+    # KID and precision/recall work on raw features, not moments.
+    want_features = "kid" in metrics or "pr" in metrics
     out = {}
 
-    if "fid" in metrics or want_kid:
+    if "fid" in metrics or want_features:
         from viscoin_tpu.cli.train import _load_fid_detector
         from viscoin_tpu.data.utils import get_datasets
-        from viscoin_tpu.eval.fid import fid_from_stats, kid_from_stats
+        from viscoin_tpu.eval.fid import (
+            fid_from_stats,
+            kid_from_stats,
+            pr_from_stats,
+        )
         from viscoin_tpu.train.gan import (
             accumulate_fake_fid_stats,
             accumulate_real_fid_stats,
@@ -110,7 +117,7 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
                 "(lower --batch-size)")
         stats_real = accumulate_real_fid_stats(detector, real_images_fn,
                                                train_ds, batch_size, samples,
-                                               capture_all=want_kid)
+                                               capture_all=want_features)
 
         # The restored tree holds host numpy leaves — place it once, or jit
         # re-transfers every generator param on each fake batch (CLAUDE.md:
@@ -118,12 +125,15 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         gvars = jax.device_put(gvars)
         stats_fake = accumulate_fake_fid_stats(
             detector, fake_images_fn, gvars, jax.random.PRNGKey(seed),
-            samples, capture_all=want_kid)
+            samples, capture_all=want_features)
 
         if "fid" in metrics:
             out["fid"] = fid_from_stats(stats_real, stats_fake)
-        if want_kid:
+        if "kid" in metrics:
             out["kid"] = kid_from_stats(stats_real, stats_fake, seed=seed)
+        if "pr" in metrics:
+            out["precision"], out["recall"] = pr_from_stats(stats_real,
+                                                            stats_fake)
         out["real_items"] = stats_real.num_items
 
     if "ppl" in metrics:

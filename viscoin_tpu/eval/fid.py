@@ -133,3 +133,56 @@ def kid_from_stats(stats_real: FeatureStats, stats_fake: FeatureStats,
     return kernel_inception_distance(stats_real.get_all(),
                                      stats_fake.get_all(),
                                      num_subsets, max_subset_size, seed)
+
+
+def precision_recall(real: np.ndarray, fake: np.ndarray,
+                     nhood_size: int = 3,
+                     row_batch: int = 4096) -> tuple[float, float]:
+    """Improved precision & recall (Kynkäänniemi et al. 2019 — the
+    stylegan2-ada pr50k3 metric, nhood_size=3): each side's manifold is the
+    union of balls around its samples with radius = the sample's
+    ``nhood_size``-th-NN distance within its own set; precision = fraction
+    of FAKE samples inside the real manifold (fidelity), recall = fraction
+    of REAL samples inside the fake manifold (coverage). Deterministic (no
+    sampling). Distances are L2 over the detector features, blocked
+    ``row_batch`` rows at a time so 50k-scale feature sets never
+    materialize an N² matrix."""
+    real = np.asarray(real, np.float32)
+    fake = np.asarray(fake, np.float32)
+    assert real.ndim == 2 and fake.ndim == 2 and real.shape[1] == fake.shape[1]
+    if min(real.shape[0], fake.shape[0]) <= nhood_size:
+        raise ValueError(
+            f"precision/recall needs > nhood_size={nhood_size} samples per "
+            f"side, got {real.shape[0]} real / {fake.shape[0]} fake")
+
+    def sq_dists(a, b):  # (m, d), (n, d) -> (m, n) squared L2
+        d2 = (np.sum(a * a, axis=1)[:, None]
+              + np.sum(b * b, axis=1)[None, :] - 2.0 * (a @ b.T))
+        return np.maximum(d2, 0.0)
+
+    def radii(x):
+        """Per-sample manifold radius²: the (nhood_size+1)-th smallest
+        within-set distance (self sits at 0, so this is the k-th NN)."""
+        out = np.empty(x.shape[0], np.float32)
+        for s in range(0, x.shape[0], row_batch):
+            d2 = sq_dists(x[s : s + row_batch], x)
+            out[s : s + row_batch] = np.partition(
+                d2, nhood_size, axis=1)[:, nhood_size]
+        return out
+
+    def fraction_inside(probes, manifold, manifold_r2):
+        hits = 0
+        for s in range(0, probes.shape[0], row_batch):
+            d2 = sq_dists(probes[s : s + row_batch], manifold)
+            hits += int(np.any(d2 <= manifold_r2[None, :], axis=1).sum())
+        return hits / probes.shape[0]
+
+    precision = fraction_inside(fake, real, radii(real))
+    recall = fraction_inside(real, fake, radii(fake))
+    return float(precision), float(recall)
+
+
+def pr_from_stats(stats_real: FeatureStats, stats_fake: FeatureStats,
+                  nhood_size: int = 3) -> tuple[float, float]:
+    return precision_recall(stats_real.get_all(), stats_fake.get_all(),
+                            nhood_size)
