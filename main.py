@@ -25,6 +25,8 @@ from viscoin_tpu.cli.concept_heatmaps import concept_heatmaps  # noqa: E402
 from viscoin_tpu.cli.concepts import concepts  # noqa: E402
 from viscoin_tpu.cli.fid import fid  # noqa: E402
 from viscoin_tpu.cli.generate import generate  # noqa: E402
+from viscoin_tpu.cli.project import project  # noqa: E402
+from viscoin_tpu.cli.style_mixing import style_mixing  # noqa: E402
 from viscoin_tpu.cli.logs import logs  # noqa: E402
 from viscoin_tpu.cli.serve import export_serving_cmd, serve  # noqa: E402
 from viscoin_tpu.cli.test import test  # noqa: E402
@@ -58,6 +60,8 @@ main.add_command(serve)
 main.add_command(export_serving_cmd)
 main.add_command(fid)
 main.add_command(generate)
+main.add_command(project)
+main.add_command(style_mixing)
 
 
 if __name__ == "__main__":

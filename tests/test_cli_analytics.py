@@ -105,4 +105,6 @@ def test_cli_amplify_pca(bundle_path):
         "--dataset", "synthetic", "--pca", "3", "--image", "0",
     ])
     assert result.exit_code == 0, result.output
-    assert os.path.exists("checkpoints/gan-w/synthetic.npz")
+    # non-256 decode sizes join the cache key (a stale 256² cache must not
+    # satisfy this IMG-sized run — eval/spaces._cache_path)
+    assert os.path.exists(f"checkpoints/gan-w/synthetic_{IMG}.npz")

@@ -57,18 +57,12 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
 
     import jax
 
-    from viscoin_tpu.models.stylegan import (
-        Generator,
-        generator_config_from_params,
-    )
-    from viscoin_tpu.utils import checkpoints as ckpt
+    from viscoin_tpu.cli.utils import load_generator
 
     if samples < 1:
         raise click.UsageError(f"--samples {samples}: need at least 1")
-    gvars = ckpt.restore_pytree(gan_path)
-    cfg = generator_config_from_params(gvars["params"])
-    generator = Generator(**cfg)
-    res = cfg["img_resolution"]
+    generator, gvars = load_generator(gan_path)
+    res = generator.img_resolution
     # KID and precision/recall work on raw features, not moments.
     want_features = "kid" in metrics or "pr" in metrics
     out = {}
@@ -119,10 +113,6 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
                                                train_ds, batch_size, samples,
                                                capture_all=want_features)
 
-        # The restored tree holds host numpy leaves — place it once, or jit
-        # re-transfers every generator param on each fake batch (CLAUDE.md:
-        # the relay tunnel moves bulk data at ~25 MB/s).
-        gvars = jax.device_put(gvars)
         stats_fake = accumulate_fake_fid_stats(
             detector, fake_images_fn, gvars, jax.random.PRNGKey(seed),
             samples, capture_all=want_features)
@@ -137,18 +127,13 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         out["real_items"] = stats_real.num_items
 
     if "ppl" in metrics:
+        from viscoin_tpu.cli.utils import require_lpips
         from viscoin_tpu.eval.ppl import compute_ppl
         from viscoin_tpu.models.lpips import LPIPS
 
-        lpips_path = "checkpoints/lpips-vgg"
-        if not os.path.exists(lpips_path):
-            raise click.UsageError(
-                "--metric ppl needs LPIPS weights at checkpoints/lpips-vgg "
-                "(port with scripts/port_weights.py lpips) — PPL through a "
-                "random VGG is meaningless")
-        gvars = jax.device_put(gvars)
-        out["ppl"] = compute_ppl(generator, gvars, LPIPS(),
-                                 ckpt.restore_pytree(lpips_path), samples,
+        lparams = require_lpips(
+            "--metric ppl (PPL through a random VGG is meaningless):")
+        out["ppl"] = compute_ppl(generator, gvars, LPIPS(), lparams, samples,
                                  batch_size, seed=seed)
 
     print(json.dumps({**out, "samples": samples,

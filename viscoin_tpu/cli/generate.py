@@ -15,8 +15,10 @@ from __future__ import annotations
 import click
 
 
-def parse_seeds(spec: str) -> list[int]:
-    """'0-3,7,10-11' → [0, 1, 2, 3, 7, 10, 11] (upstream --seeds syntax)."""
+def parse_seeds(spec: str, flag: str = "--seeds") -> list[int]:
+    """'0-3,7,10-11' → [0, 1, 2, 3, 7, 10, 11] (upstream --seeds syntax).
+    ``flag`` names the CLI option in error messages (style-mixing reuses
+    this parser for --rows/--cols/--col-styles)."""
     out: list[int] = []
     for part in spec.split(","):
         part = part.strip()
@@ -33,10 +35,10 @@ def parse_seeds(spec: str) -> list[int]:
                 out.append(int(part))
         except ValueError:
             raise click.UsageError(
-                f"--seeds {spec!r}: expected comma-separated ints/ranges "
+                f"{flag} {spec!r}: expected comma-separated ints/ranges "
                 "like '0-15,20,33'") from None
     if not out:
-        raise click.UsageError(f"--seeds {spec!r}: no seeds parsed")
+        raise click.UsageError(f"{flag} {spec!r}: no seeds parsed")
     return out
 
 
@@ -66,18 +68,10 @@ def generate(gan_path, seeds, truncation_psi, noise_mode, outdir, batch_size):
     import jax
     import jax.numpy as jnp
 
-    from viscoin_tpu.models.stylegan import (
-        Generator,
-        generator_config_from_params,
-    )
-    from viscoin_tpu.utils import checkpoints as ckpt
+    from viscoin_tpu.cli.utils import load_generator
 
     seed_list = parse_seeds(seeds)
-    gvars = ckpt.restore_pytree(gan_path)
-    generator = Generator(**generator_config_from_params(gvars["params"]))
-    # Place the restored host tree once (CLAUDE.md: the relay tunnel moves
-    # bulk data at ~25 MB/s — don't re-transfer params per batch).
-    gvars = jax.device_put(gvars)
+    generator, gvars = load_generator(gan_path)
 
     @jax.jit
     def sample(gvars, seed_arr, key):

@@ -87,3 +87,38 @@ def dataset(func):
     return click.option("--dataset", default="cub", type=DATASET,
                         help="The dataset to use: cub | funnybirds | synthetic "
                              "| a directory path (image-folder layout)")(func)
+
+
+def load_generator(gan_path: str):
+    """Restore a ``train gan`` export / ``port_weights.py stylegan`` port,
+    rebuild the :class:`Generator` from the checkpoint itself (architecture
+    inferred — no shape flags), and place the tree on device ONCE
+    (CLAUDE.md: the relay tunnel moves bulk data at ~25 MB/s — jit would
+    otherwise re-transfer every param per batch). Shared by the GAN tool
+    commands (generate / style-mixing / project / fid)."""
+    import jax
+
+    from viscoin_tpu.models.stylegan import (
+        Generator,
+        generator_config_from_params,
+    )
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    gvars = ckpt.restore_pytree(gan_path)
+    generator = Generator(**generator_config_from_params(gvars["params"]))
+    return generator, jax.device_put(gvars)
+
+
+def require_lpips(why: str, path: str = "checkpoints/lpips-vgg"):
+    """Restore ported LPIPS params, or refuse with a porting pointer — the
+    perceptual metrics (projection loss, PPL) are meaningless through a
+    random VGG."""
+    import os
+
+    if not os.path.exists(path):
+        raise click.UsageError(
+            f"{why} needs LPIPS weights at {path} "
+            "(port with scripts/port_weights.py lpips)")
+    from viscoin_tpu.utils import checkpoints as ckpt
+
+    return ckpt.restore_pytree(path)
