@@ -23,6 +23,7 @@ from viscoin_tpu.cli.amplify import amplify  # noqa: E402
 from viscoin_tpu.cli.amplify_pca import amplify_pca  # noqa: E402
 from viscoin_tpu.cli.concept_heatmaps import concept_heatmaps  # noqa: E402
 from viscoin_tpu.cli.concepts import concepts  # noqa: E402
+from viscoin_tpu.cli.dataset_tool import dataset_tool  # noqa: E402
 from viscoin_tpu.cli.fid import fid  # noqa: E402
 from viscoin_tpu.cli.generate import generate  # noqa: E402
 from viscoin_tpu.cli.project import project  # noqa: E402
@@ -56,6 +57,7 @@ main.add_command(concepts)
 main.add_command(concept_heatmaps)
 main.add_command(logs)
 main.add_command(amplify_pca)
+main.add_command(dataset_tool)
 main.add_command(serve)
 main.add_command(export_serving_cmd)
 main.add_command(fid)

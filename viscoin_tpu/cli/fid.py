@@ -98,7 +98,8 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         # classifier-style random crops); the dataset decodes at the
         # generator's resolution (image-folder roots honor out_size;
         # fixed-geometry registry datasets must already match).
-        kwargs = {"out_size": res} if os.path.isdir(dataset) else {}
+        resizable = os.path.isdir(dataset) or dataset.lower().endswith(".zip")
+        kwargs = {"out_size": res} if resizable else {}
         train_ds, _ = get_datasets(dataset, "gan", train_only=True, **kwargs)
         if train_ds.out_size != res:
             raise click.UsageError(

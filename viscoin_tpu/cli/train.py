@@ -164,14 +164,15 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
 
 
 def _dataset_kwargs(dataset: str, image_size) -> dict:
-    """--image-size routes to the image-folder dataset's ``out_size``; the
-    registry datasets' geometries are fixed by their reference recipes
-    (CUB/FunnyBirds 256² transforms; synthetic uses VISCOIN_SYNTH_SIZE)."""
+    """--image-size routes to the image-folder / training-zip dataset's
+    ``out_size``; the registry datasets' geometries are fixed by their
+    reference recipes (CUB/FunnyBirds 256² transforms; synthetic uses
+    VISCOIN_SYNTH_SIZE)."""
     if image_size is None:
         return {}
     import os
 
-    if not os.path.isdir(dataset):
+    if not (os.path.isdir(dataset) or dataset.lower().endswith(".zip")):
         raise click.UsageError(
             "--image-size applies to image-folder (path) datasets; "
             f"{dataset!r} is a registry dataset with a fixed geometry")

@@ -59,10 +59,11 @@ def concept2clip_pickle_path(func):
 
 
 class DatasetParam(click.ParamType):
-    """A registry dataset name OR a directory path to a generic
+    """A registry dataset name, a directory path to a generic
     ``{root}/{train|test}/{class}/{image}`` image-folder dataset (covers the
     CelebA-HQ / Stanford-Cars recipes the reference README documents but its
-    registry cannot load, and any custom dataset)."""
+    registry cannot load, and any custom dataset), or a StyleGAN training
+    ``.zip`` packed by `dataset-tool` (train-only: `train gan` / `fid`)."""
 
     name = "dataset"
 
@@ -71,12 +72,14 @@ class DatasetParam(click.ParamType):
 
         from viscoin_tpu.data.utils import DATASET_NAMES
 
-        if value in DATASET_NAMES or os.path.isdir(value):
+        if (value in DATASET_NAMES or os.path.isdir(value)
+                or (value.lower().endswith(".zip") and os.path.isfile(value))):
             return value
         self.fail(
             f"{value!r} is neither a known dataset "
-            f"({', '.join(sorted(DATASET_NAMES))}) nor a directory path "
-            "(image-folder layout: {root}/{train|test}/{class}/{image})",
+            f"({', '.join(sorted(DATASET_NAMES))}), nor a directory path "
+            "(image-folder layout: {root}/{train|test}/{class}/{image}), "
+            "nor a training .zip",
             param, ctx)
 
 

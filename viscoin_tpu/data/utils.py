@@ -46,10 +46,13 @@ DATASET_NAMES = tuple(_CLASSES)  # registry names (paths are also accepted)
 
 def dataset_key(name: str) -> str:
     """Short name for checkpoint/log path conventions: the registry name, or
-    the basename of an image-folder root path."""
+    the basename of an image-folder root / training-zip path."""
     if name in _CLASSES:
         return name
-    return os.path.basename(os.path.normpath(name))
+    base = os.path.basename(os.path.normpath(name))
+    if base.lower().endswith(".zip"):
+        base = base[:-4]
+    return base
 
 
 def default_checkpoints(name: str) -> dict[str, str]:
@@ -93,9 +96,22 @@ def get_datasets(name: str, transform: Literal["train", "test"] | None = None,
                 else ImageFolderDataset(mode="test", transform=transform,
                                         root=name, **kwargs))
         return train, test
+    if os.path.isfile(name) and name.lower().endswith(".zip"):
+        # StyleGAN training archive (packed by `main.py dataset-tool` or the
+        # upstream stylegan2-ada dataset_tool — same convention). The archive
+        # IS the training set, so it is train-only like upstream's trainer.
+        from viscoin_tpu.data.stylegan_zip import StyleGANZipDataset
+
+        if not train_only:
+            raise ValueError(
+                f"{name} is a StyleGAN training zip — it has no test split "
+                "(use it with `train gan` / `fid`, which are train-only)")
+        return StyleGANZipDataset(name, mode="train", transform=transform,
+                                  **kwargs), None
     raise ValueError(
-        f"unknown dataset {name!r}: expected one of {sorted(_CLASSES)} or a "
-        "directory path with a {root}/{train|test}/{class}/{image} layout")
+        f"unknown dataset {name!r}: expected one of {sorted(_CLASSES)}, a "
+        "directory path with a {root}/{train|test}/{class}/{image} layout, "
+        "or a StyleGAN training .zip (train-only)")
 
 
 def get_dataloaders(name: str, batch_size: int,
