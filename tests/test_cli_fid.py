@@ -260,3 +260,92 @@ def test_cli_fid_pr_metric(tmp_path, monkeypatch):
     out = json.loads(result.output.strip().splitlines()[-1])
     assert 0.0 <= out["precision"] <= 1.0 and 0.0 <= out["recall"] <= 1.0
     assert "fid" not in out
+
+
+def _save_fake_vgg16_pt(path):
+    """A TorchScript stand-in for the NVlabs vgg16.pt: same call signature
+    (x NCHW in [0,255]; resize_images / return_lpips kwargs), returns a
+    per-image embedding whose squared-L2 difference is the 'perceptual'
+    distance."""
+    import torch
+
+    class FakePerceptual(torch.nn.Module):
+        def forward(self, x, resize_images: bool = True,
+                    return_lpips: bool = False):
+            v1 = x.mean(dim=[2, 3])
+            v2 = x.amax(dim=[2, 3])
+            return torch.cat([v1, v2], dim=1)
+
+    torch.jit.script(FakePerceptual()).save(path)
+
+
+def test_ppl_torchscript_matches_numpy_oracle(tmp_path):
+    """compute_ppl_torchscript == a from-scratch numpy pipeline over the
+    SAME pair images: upstream (img+1)*255/2 scaling, the module's features
+    (mean/amax over HW per channel), squared-L2 / eps², [p1,p99] mean."""
+    from viscoin_tpu.eval.ppl import (
+        compute_ppl_torchscript,
+        make_ppl_pair_fn,
+        ppl_from_distances,
+    )
+    from viscoin_tpu.models.stylegan import Generator
+
+    cfg = _tiny_generator_cfg()
+    generator = Generator(**cfg)
+    gvars = generator.init({"params": jax.random.PRNGKey(1)},
+                           jnp.zeros((1, cfg["z_dim"])), noise_mode="const")
+    ts = str(tmp_path / "vgg16.pt")
+    _save_fake_vgg16_pt(ts)
+
+    eps, bs, n = 1e-4, 4, 8
+    got = compute_ppl_torchscript(generator, gvars, ts, n, bs, seed=3,
+                                  epsilon=eps)
+
+    pair_fn = make_ppl_pair_fn(generator, bs, eps)
+    dists = []
+    for j in range(n // bs):
+        img = np.asarray(pair_fn(gvars, jax.random.fold_in(
+            jax.random.PRNGKey(3), j)), np.float32)
+        x = np.transpose(img, (0, 3, 1, 2)).astype(np.float32)
+        x = (x + 1.0) * (255.0 / 2.0)
+        feats = np.concatenate([x.mean(axis=(2, 3)), x.max(axis=(2, 3))],
+                               axis=1)
+        d = ((feats[:bs] - feats[bs:]) ** 2).sum(axis=1) / (eps * eps)
+        dists.append(d.astype(np.float64))
+    want = ppl_from_distances(np.concatenate(dists))
+    # torch reduces in float32, the oracle in float64 — order-of-summation
+    # differences on the huge d/eps^2 values bound the agreement at ~1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    # deterministic in seed; a different seed measures different segments
+    again = compute_ppl_torchscript(generator, gvars, ts, n, bs, seed=3,
+                                    epsilon=eps)
+    other = compute_ppl_torchscript(generator, gvars, ts, n, bs, seed=4,
+                                    epsilon=eps)
+    assert got == again and got != other
+
+
+def test_cli_fid_ppl_torchscript_detector(tmp_path, monkeypatch):
+    """--metric ppl --lpips-detector vgg16.pt: the upstream-comparable
+    route — runs without any ported LPIPS checkpoint."""
+    monkeypatch.chdir(tmp_path)
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.utils.checkpoints import save_pytree
+
+    cfg = _tiny_generator_cfg()
+    gvars = Generator(**cfg).init({"params": jax.random.PRNGKey(1)},
+                                  jnp.zeros((1, cfg["z_dim"])),
+                                  noise_mode="const")
+    save_pytree(gvars, str(tmp_path / "gan-tiny"))
+    ts = str(tmp_path / "vgg16.pt")
+    _save_fake_vgg16_pt(ts)
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "fid", "--gan", str(tmp_path / "gan-tiny"), "--dataset", "synthetic",
+        "--samples", "8", "--batch-size", "4", "--metric", "ppl",
+        "--lpips-detector", ts])
+    assert result.exit_code == 0, result.output
+    assert "TorchScript perceptual net" in result.output
+    out = json.loads(result.output.strip().splitlines()[-1])
+    assert np.isfinite(out["ppl"]) and "fid" not in out

@@ -37,6 +37,13 @@ from viscoin_tpu.cli.utils import dataset, device
                    "at a fixed value)")
 @click.option("--batch-size", default=64, show_default=True)
 @click.option("--seed", default=0, show_default=True)
+@click.option("--lpips-detector", "lpips_detector_path",
+              type=click.Path(exists=True), default=None,
+              help="PPL perceptual network override: the reference "
+                   "ecosystem's vgg16.pt TorchScript file (host CPU, "
+                   "numerically upstream-comparable PPL — the perceptual "
+                   "analogue of --fid-detector <file>.pt), or an alternate "
+                   "ported-LPIPS orbax dir. Default: checkpoints/lpips-vgg")
 @click.option("--metric", "metrics", multiple=True,
               type=click.Choice(["fid", "kid", "pr", "ppl"]),
               default=("fid",), show_default=True,
@@ -50,8 +57,8 @@ from viscoin_tpu.cli.utils import dataset, device
                    "analogue) measures W-space smoothness via LPIPS and "
                    "needs checkpoints/lpips-vgg instead of a "
                    "dataset/detector")
-def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
-        seed, metrics):
+def fid(dataset, device, gan_path, fid_detector_path, lpips_detector_path,
+        samples, batch_size, seed, metrics):
     """Offline FID/KID/PPL of a (trained or ported) generator."""
     import os
 
@@ -128,14 +135,28 @@ def fid(dataset, device, gan_path, fid_detector_path, samples, batch_size,
         out["real_items"] = stats_real.num_items
 
     if "ppl" in metrics:
-        from viscoin_tpu.cli.utils import require_lpips
-        from viscoin_tpu.eval.ppl import compute_ppl
-        from viscoin_tpu.models.lpips import LPIPS
+        if lpips_detector_path and lpips_detector_path.endswith(".pt"):
+            # The reference ecosystem's vgg16.pt: distance through the exact
+            # TorchScript module on host CPU — PPL values are then
+            # numerically comparable with upstream-published numbers.
+            from viscoin_tpu.eval.ppl import compute_ppl_torchscript
 
-        lparams = require_lpips(
-            "--metric ppl (PPL through a random VGG is meaningless):")
-        out["ppl"] = compute_ppl(generator, gvars, LPIPS(), lparams, samples,
-                                 batch_size, seed=seed)
+            click.echo("PPL: exact NVlabs TorchScript perceptual net "
+                       f"({lpips_detector_path}, host CPU)")
+            out["ppl"] = compute_ppl_torchscript(
+                generator, gvars, lpips_detector_path, samples, batch_size,
+                seed=seed)
+        else:
+            from viscoin_tpu.cli.utils import require_lpips
+            from viscoin_tpu.eval.ppl import compute_ppl
+            from viscoin_tpu.models.lpips import LPIPS
+
+            lparams = require_lpips(
+                "--metric ppl (PPL through a random VGG is meaningless):",
+                **({"path": lpips_detector_path}
+                   if lpips_detector_path else {}))
+            out["ppl"] = compute_ppl(generator, gvars, LPIPS(), lparams,
+                                     samples, batch_size, seed=seed)
 
     print(json.dumps({**out, "samples": samples,
                       "dataset": str(dataset), "gan": str(gan_path)}))

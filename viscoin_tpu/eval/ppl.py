@@ -10,11 +10,19 @@ both endpoints synthesized with shared const noise in ONE batched synthesis
 call, distance = lpips(img_t, img_t+eps) / epsilon², and the mean taken
 over the [p1, p99] interquantile samples (the upstream outlier filter).
 
-Documented divergence: the perceptual distance runs through this framework's
-LPIPS-VGG (the lpips-pip convention with ported linear heads) instead of the
-NVlabs ``vgg16.pt`` TorchScript network — absolute PPL values are therefore
-NOT comparable with upstream-published numbers, but comparisons between
-generators measured HERE are (the metric's actual use: ranking checkpoints).
+Perceptual distance, two routes (mirroring the FID detector seam):
+
+* default — this framework's LPIPS-VGG (the lpips-pip convention with
+  ported linear heads): absolute PPL values are NOT comparable with
+  upstream-published numbers, but comparisons between generators measured
+  HERE are (the metric's actual use: ranking checkpoints).
+* ``compute_ppl_torchscript`` — a user who has the reference ecosystem's
+  ``vgg16.pt`` (the NVlabs TorchScript perceptual network upstream PPL
+  runs through) gets NUMERICALLY upstream-comparable values: synthesis
+  stays a jitted device program, the distance runs through their exact
+  module on host CPU with upstream's image scaling
+  ((img+1)·255/2, NCHW, ``resize_images=False, return_lpips=True``,
+  squared-L2 over the returned embedding).
 """
 
 from __future__ import annotations
@@ -26,14 +34,13 @@ import jax
 import jax.numpy as jnp
 
 
-def make_ppl_sampler(generator, lpips, batch_size: int,
-                     epsilon: float = 1e-4):
-    """One jitted program per batch: z-pair draw → W lerp → ONE 2B-batch
-    synthesis (const noise shared across the pair, upstream semantics) →
-    LPIPS / eps². Returns ``sample(gvars, lparams, key) -> (B,) distances``.
-
-    Images above 256² are average-pooled to 256² before the distance
-    (upstream's comparability convention for high-res generators)."""
+def _path_pair_images(generator, gvars, key, batch_size: int,
+                      epsilon: float):
+    """The shared device program of both distance routes: z-pair draw →
+    W lerp (t ~ U(0,1), 'wend') → ONE 2B-batch synthesis with const noise
+    shared across the pair (upstream semantics) → (2B, H, W, C) images,
+    average-pooled to 256² above that resolution (upstream's comparability
+    convention for high-res generators)."""
 
     def _mapping(mdl, z):
         return mdl.mapping(z)
@@ -41,27 +48,85 @@ def make_ppl_sampler(generator, lpips, batch_size: int,
     def _synthesis(mdl, ws):
         return mdl.synthesis(ws, noise_mode="const")
 
+    kz0, kz1, kt = jax.random.split(key, 3)
+    z0 = jax.random.normal(kz0, (batch_size, generator.z_dim))
+    z1 = jax.random.normal(kz1, (batch_size, generator.z_dim))
+    w0 = generator.apply(gvars, z0, method=_mapping)
+    w1 = generator.apply(gvars, z1, method=_mapping)
+    t = jax.random.uniform(kt, (batch_size, 1, 1))
+    wt0 = w0 + (w1 - w0) * t
+    wt1 = w0 + (w1 - w0) * (t + epsilon)
+    img = generator.apply(gvars, jnp.concatenate([wt0, wt1], axis=0),
+                          method=_synthesis)
+    if img.shape[1] > 256:
+        f = img.shape[1] // 256
+        img = jnp.mean(img.reshape(img.shape[0], 256, f, 256, f,
+                                   img.shape[-1]), axis=(2, 4))
+    return img
+
+
+def make_ppl_sampler(generator, lpips, batch_size: int,
+                     epsilon: float = 1e-4):
+    """One jitted program per batch: pair synthesis + LPIPS / eps² fused.
+    Returns ``sample(gvars, lparams, key) -> (B,) distances``."""
+
     @jax.jit
     def sample(gvars, lparams, key):
-        kz0, kz1, kt = jax.random.split(key, 3)
-        z0 = jax.random.normal(kz0, (batch_size, generator.z_dim))
-        z1 = jax.random.normal(kz1, (batch_size, generator.z_dim))
-        w0 = generator.apply(gvars, z0, method=_mapping)
-        w1 = generator.apply(gvars, z1, method=_mapping)
-        t = jax.random.uniform(kt, (batch_size, 1, 1))
-        wt0 = w0 + (w1 - w0) * t
-        wt1 = w0 + (w1 - w0) * (t + epsilon)
-        img = generator.apply(gvars, jnp.concatenate([wt0, wt1], axis=0),
-                              method=_synthesis)
-        if img.shape[1] > 256:
-            f = img.shape[1] // 256
-            img = jnp.mean(img.reshape(img.shape[0], 256, f, 256, f,
-                                       img.shape[-1]), axis=(2, 4))
+        img = _path_pair_images(generator, gvars, key, batch_size, epsilon)
         d = lpips.apply({"params": lparams}, img[:batch_size],
                         img[batch_size:])
         return d.astype(jnp.float32) / (epsilon * epsilon)
 
     return sample
+
+
+def make_ppl_pair_fn(generator, batch_size: int, epsilon: float = 1e-4):
+    """Jitted pair-image program alone (the TorchScript distance route):
+    ``pairs(gvars, key) -> (2B, H, W, C)``."""
+
+    @jax.jit
+    def pairs(gvars, key):
+        return _path_pair_images(generator, gvars, key, batch_size, epsilon)
+
+    return pairs
+
+
+def torchscript_pair_distances(module, img: np.ndarray,
+                               epsilon: float) -> np.ndarray:
+    """Upstream distance of a (2B, H, W, C) synthesis pair batch through the
+    NVlabs ``vgg16.pt`` module: (img+1)·255/2 scaling, NCHW,
+    ``resize_images=False, return_lpips=True``, squared-L2 between the
+    pair's embeddings / eps² (upstream metrics/perceptual_path_length.py
+    semantics)."""
+    import torch
+
+    x = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()).float()
+    x = (x + 1.0) * (255.0 / 2.0)
+    with torch.no_grad():
+        feats = module(x, resize_images=False, return_lpips=True)
+    f0, f1 = feats.chunk(2)
+    d = (f0 - f1).square().sum(dim=1) / (epsilon * epsilon)
+    return d.cpu().numpy().astype(np.float64)
+
+
+def compute_ppl_torchscript(generator, gvars, ts_path: str, n_samples: int,
+                            batch_size: int, seed: int = 0,
+                            epsilon: float = 1e-4) -> float:
+    """PPL with the distance through the reference ecosystem's ``vgg16.pt``
+    TorchScript perceptual network (host CPU — numerically comparable with
+    upstream-published PPL numbers, unlike the default LPIPS route).
+    Synthesis stays the jitted device program; per-batch keys are identical
+    to :func:`compute_ppl`, so the two routes measure the same segments."""
+    import torch
+
+    module = torch.jit.load(ts_path).eval()
+    pair_fn = make_ppl_pair_fn(generator, batch_size, epsilon)
+    base = jax.random.PRNGKey(seed)
+    out = []
+    for j in range(math.ceil(n_samples / batch_size)):
+        img = np.asarray(pair_fn(gvars, jax.random.fold_in(base, j)))
+        out.append(torchscript_pair_distances(module, img, epsilon))
+    return ppl_from_distances(np.concatenate(out)[:n_samples])
 
 
 def ppl_from_distances(dists: np.ndarray) -> float:
