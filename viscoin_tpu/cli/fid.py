@@ -10,7 +10,9 @@ are needed. FID/KID: real-side features come from one deterministic pass
 over the TRAIN split (fid50k_full semantics: the training distribution),
 fake-side samples from fresh z through the generator, both through the same
 [0,1] → ImageNet adapter and the pluggable FID detector. PPL needs no
-dataset or detector — only the generator and LPIPS weights (eval/ppl.py)."""
+dataset or detector — only the generator and LPIPS weights (eval/ppl.py);
+``--lpips-detector vgg16.pt`` swaps in the reference ecosystem's exact
+TorchScript perceptual net for upstream-comparable absolute values."""
 
 from __future__ import annotations
 
