@@ -101,6 +101,31 @@ def test_repack_existing_zip_keeps_labels(class_tree, tmp_path):
     assert [ds._label(i) for i in range(3)] == [0, 0, 1]
 
 
+def test_partial_labels_are_a_corrupted_archive(class_tree, tmp_path):
+    """dataset.json that covers only part of the archive: the dataset
+    refuses (upstream's reader raises KeyError there — silent zero-label
+    fallback would quietly train a labeled archive as unlabeled), and a
+    re-pack of such an archive warns + drops the labels."""
+    root, _ = class_tree
+    dest = str(tmp_path / "part.zip")
+    pack_stylegan_zip(root, dest, resolution=32)
+    with zipfile.ZipFile(dest) as zf:
+        recs = json.loads(zf.read("dataset.json"))["labels"]
+        members = {n: zf.read(n) for n in zf.namelist() if n != "dataset.json"}
+    with zipfile.ZipFile(dest, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+        zf.writestr("dataset.json", json.dumps({"labels": recs[:-1]}))
+
+    with pytest.raises(ValueError, match="corrupted labeled archive"):
+        StyleGANZipDataset(dest)
+
+    with pytest.warns(UserWarning, match="only part"):
+        pack_stylegan_zip(dest, str(tmp_path / "repacked.zip"), resolution=32)
+    ds = StyleGANZipDataset(str(tmp_path / "repacked.zip"))
+    assert ds.labels == [0, 0, 0] and ds.N_CLASSES == 1
+
+
 def test_get_datasets_zip_dispatch(class_tree, tmp_path):
     root, _ = class_tree
     dest = str(tmp_path / "ds.zip")

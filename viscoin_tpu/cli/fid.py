@@ -46,6 +46,12 @@ from viscoin_tpu.cli.utils import dataset, device
                    "numerically upstream-comparable PPL — the perceptual "
                    "analogue of --fid-detector <file>.pt), or an alternate "
                    "ported-LPIPS orbax dir. Default: checkpoints/lpips-vgg")
+@click.option("--ppl-sampling", type=click.Choice(["end", "full"]),
+              default="end", show_default=True,
+              help="PPL path-segment sampling: 'end' is upstream's "
+                   "published ppl2_wend configuration (t=0, measure at the "
+                   "segment start); 'full' draws t~U(0,1) along the whole "
+                   "W segment")
 @click.option("--metric", "metrics", multiple=True,
               type=click.Choice(["fid", "kid", "pr", "ppl"]),
               default=("fid",), show_default=True,
@@ -60,7 +66,7 @@ from viscoin_tpu.cli.utils import dataset, device
                    "needs checkpoints/lpips-vgg instead of a "
                    "dataset/detector")
 def fid(dataset, device, gan_path, fid_detector_path, lpips_detector_path,
-        samples, batch_size, seed, metrics):
+        samples, batch_size, seed, ppl_sampling, metrics):
     """Offline FID/KID/PPL of a (trained or ported) generator."""
     import os
 
@@ -147,7 +153,7 @@ def fid(dataset, device, gan_path, fid_detector_path, lpips_detector_path,
                        f"({lpips_detector_path}, host CPU)")
             out["ppl"] = compute_ppl_torchscript(
                 generator, gvars, lpips_detector_path, samples, batch_size,
-                seed=seed)
+                seed=seed, sampling=ppl_sampling)
         else:
             from viscoin_tpu.cli.utils import require_lpips
             from viscoin_tpu.eval.ppl import compute_ppl
@@ -158,7 +164,8 @@ def fid(dataset, device, gan_path, fid_detector_path, lpips_detector_path,
                 **({"path": lpips_detector_path}
                    if lpips_detector_path else {}))
             out["ppl"] = compute_ppl(generator, gvars, LPIPS(), lparams,
-                                     samples, batch_size, seed=seed)
+                                     samples, batch_size, seed=seed,
+                                     sampling=ppl_sampling)
 
     print(json.dumps({**out, "samples": samples,
                       "dataset": str(dataset), "gan": str(gan_path)}))

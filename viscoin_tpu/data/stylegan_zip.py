@@ -139,7 +139,10 @@ def pack_stylegan_zip(
         # dataset's own labels — e.g. `--source cub` produces the archive
         # the upstream trainer would train the reference's CUB GAN from.
         ds, _ = get_datasets(source, "gan", train_only=True)
-        loaders = [(lambda i=i, ds=ds: ds.raw_image(i)) for i in range(len(ds))]
+        # _load_raw (not raw_image): packing is one streaming pass — the
+        # base class's decoded-image cache would pin the whole dataset in
+        # RAM for nothing.
+        loaders = [(lambda i=i, ds=ds: ds._load_raw(i)) for i in range(len(ds))]
         labels = [int(ds._label(i)) for i in range(len(ds))]
     elif os.path.isdir(source):
         entries = list(_iter_folder(source))
@@ -156,9 +159,15 @@ def pack_stylegan_zip(
             raise ValueError(f"no images found inside {source}")
         loaders = [(lambda n=n: _decode(src_zip.read(n))) for n in names]
         label_map = _read_zip_labels(src_zip)
+        if label_map is not None and not all(n in label_map for n in names):
+            import warnings
+            warnings.warn(
+                f"{source}: dataset.json covers only part of the archive — "
+                "dropping labels (the re-packed zip will be unlabeled)",
+                stacklevel=2)
+            label_map = None
         labels = ([label_map[n] for n in names]
-                  if label_map is not None and all(n in label_map for n in names)
-                  else None)
+                  if label_map is not None else None)
     else:
         raise ValueError(
             f"unknown source {source!r}: expected an image directory, a "
@@ -252,10 +261,19 @@ class StyleGANZipDataset(ImageDataset):
         if not self.names:
             raise ValueError(f"no images inside {path}")
         label_map = _read_zip_labels(zf)
-        if label_map is not None and all(n in label_map for n in self.names):
-            self.labels = [label_map[n] for n in self.names]
-        else:
+        if label_map is None:
             self.labels = [0] * len(self.names)
+        else:
+            missing = [n for n in self.names if n not in label_map]
+            if missing:
+                # Upstream's dataset reader raises KeyError here: a present
+                # dataset.json that covers only part of the archive is a
+                # corrupted archive, not an unlabeled one.
+                raise ValueError(
+                    f"{path}: dataset.json labels {len(self.names) - len(missing)}"
+                    f"/{len(self.names)} image members (first missing: "
+                    f"{missing[0]!r}) — corrupted labeled archive")
+            self.labels = [label_map[n] for n in self.names]
         self.N_CLASSES = max(self.labels) + 1
         native = _decode(zf.read(self.names[0])).shape[0]
         self.out_size = int(out_size) if out_size is not None else int(native)

@@ -4,11 +4,15 @@ The stylegan2-ada ecosystem's ``calc_metrics.py ppl2_wend`` analogue (the
 third headline GAN metric after FID/KID — latent-space smoothness, reference
 ecosystem: the reference consumes pickles selected by these metrics,
 viscoin/cli/train.py:202-205). Semantics follow the upstream sampler:
-endpoints w0, w1 = mapping(z0), mapping(z1) with no truncation, t ~ U(0, 1)
-("wend": the full W-space segment), a step of ``epsilon`` = 1e-4 along it,
-both endpoints synthesized with shared const noise in ONE batched synthesis
-call, distance = lpips(img_t, img_t+eps) / epsilon², and the mean taken
-over the [p1, p99] interquantile samples (the upstream outlier filter).
+endpoints w0, w1 = mapping(z0), mapping(z1) with no truncation, then a
+``sampling`` knob matching upstream's ``t = rand * (1 if sampling == 'full'
+else 0)``: ``"end"`` (the default, the published ppl2_wend configuration)
+measures the segment START — wt0 = w0, wt1 = lerp(w0, w1, epsilon) —
+while ``"full"`` draws t ~ U(0, 1) along the whole segment. Both endpoints
+are synthesized with shared const noise in ONE batched synthesis call,
+distance = lpips(img_t, img_t+eps) / epsilon², and the mean taken over the
+[p1, p99] interquantile samples (the upstream outlier filter, lower/higher
+percentile rounding like ``np.percentile(..., interpolation=...)`` there).
 
 Perceptual distance, two routes (mirroring the FID detector seam):
 
@@ -35,12 +39,15 @@ import jax.numpy as jnp
 
 
 def _path_pair_images(generator, gvars, key, batch_size: int,
-                      epsilon: float):
+                      epsilon: float, sampling: str = "end"):
     """The shared device program of both distance routes: z-pair draw →
-    W lerp (t ~ U(0,1), 'wend') → ONE 2B-batch synthesis with const noise
-    shared across the pair (upstream semantics) → (2B, H, W, C) images,
-    average-pooled to 256² above that resolution (upstream's comparability
-    convention for high-res generators)."""
+    W lerp (t per ``sampling``: 0 for 'end' = ppl2_wend, U(0,1) for
+    'full') → ONE 2B-batch synthesis with const noise shared across the
+    pair (upstream semantics) → (2B, H, W, C) images, average-pooled to
+    256² above that resolution (upstream's comparability convention for
+    high-res generators)."""
+    if sampling not in ("end", "full"):
+        raise ValueError(f"sampling must be 'end' or 'full', got {sampling!r}")
 
     def _mapping(mdl, z):
         return mdl.mapping(z)
@@ -48,12 +55,17 @@ def _path_pair_images(generator, gvars, key, batch_size: int,
     def _synthesis(mdl, ws):
         return mdl.synthesis(ws, noise_mode="const")
 
+    # kt is split in both modes so the z draws (and therefore the measured
+    # W endpoints) are identical between 'end' and 'full'.
     kz0, kz1, kt = jax.random.split(key, 3)
     z0 = jax.random.normal(kz0, (batch_size, generator.z_dim))
     z1 = jax.random.normal(kz1, (batch_size, generator.z_dim))
     w0 = generator.apply(gvars, z0, method=_mapping)
     w1 = generator.apply(gvars, z1, method=_mapping)
-    t = jax.random.uniform(kt, (batch_size, 1, 1))
+    if sampling == "full":
+        t = jax.random.uniform(kt, (batch_size, 1, 1))
+    else:
+        t = jnp.zeros((batch_size, 1, 1))
     wt0 = w0 + (w1 - w0) * t
     wt1 = w0 + (w1 - w0) * (t + epsilon)
     img = generator.apply(gvars, jnp.concatenate([wt0, wt1], axis=0),
@@ -66,13 +78,14 @@ def _path_pair_images(generator, gvars, key, batch_size: int,
 
 
 def make_ppl_sampler(generator, lpips, batch_size: int,
-                     epsilon: float = 1e-4):
+                     epsilon: float = 1e-4, sampling: str = "end"):
     """One jitted program per batch: pair synthesis + LPIPS / eps² fused.
     Returns ``sample(gvars, lparams, key) -> (B,) distances``."""
 
     @jax.jit
     def sample(gvars, lparams, key):
-        img = _path_pair_images(generator, gvars, key, batch_size, epsilon)
+        img = _path_pair_images(generator, gvars, key, batch_size, epsilon,
+                                sampling)
         d = lpips.apply({"params": lparams}, img[:batch_size],
                         img[batch_size:])
         return d.astype(jnp.float32) / (epsilon * epsilon)
@@ -80,13 +93,15 @@ def make_ppl_sampler(generator, lpips, batch_size: int,
     return sample
 
 
-def make_ppl_pair_fn(generator, batch_size: int, epsilon: float = 1e-4):
+def make_ppl_pair_fn(generator, batch_size: int, epsilon: float = 1e-4,
+                     sampling: str = "end"):
     """Jitted pair-image program alone (the TorchScript distance route):
     ``pairs(gvars, key) -> (2B, H, W, C)``."""
 
     @jax.jit
     def pairs(gvars, key):
-        return _path_pair_images(generator, gvars, key, batch_size, epsilon)
+        return _path_pair_images(generator, gvars, key, batch_size, epsilon,
+                                 sampling)
 
     return pairs
 
@@ -100,6 +115,10 @@ def torchscript_pair_distances(module, img: np.ndarray,
     semantics)."""
     import torch
 
+    if img.shape[-1] == 1:
+        # Upstream repeats grayscale to 3 channels before the VGG
+        # (img.repeat([1,3,1,1]) in perceptual_path_length.py).
+        img = np.tile(img, (1, 1, 1, 3))
     x = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()).float()
     x = (x + 1.0) * (255.0 / 2.0)
     with torch.no_grad():
@@ -111,16 +130,18 @@ def torchscript_pair_distances(module, img: np.ndarray,
 
 def compute_ppl_torchscript(generator, gvars, ts_path: str, n_samples: int,
                             batch_size: int, seed: int = 0,
-                            epsilon: float = 1e-4) -> float:
+                            epsilon: float = 1e-4,
+                            sampling: str = "end") -> float:
     """PPL with the distance through the reference ecosystem's ``vgg16.pt``
     TorchScript perceptual network (host CPU — numerically comparable with
-    upstream-published PPL numbers, unlike the default LPIPS route).
-    Synthesis stays the jitted device program; per-batch keys are identical
-    to :func:`compute_ppl`, so the two routes measure the same segments."""
+    upstream-published ppl2_wend numbers at the default sampling='end',
+    unlike the default LPIPS route). Synthesis stays the jitted device
+    program; per-batch keys are identical to :func:`compute_ppl`, so the
+    two routes measure the same segments."""
     import torch
 
     module = torch.jit.load(ts_path).eval()
-    pair_fn = make_ppl_pair_fn(generator, batch_size, epsilon)
+    pair_fn = make_ppl_pair_fn(generator, batch_size, epsilon, sampling)
     base = jax.random.PRNGKey(seed)
     out = []
     for j in range(math.ceil(n_samples / batch_size)):
@@ -131,19 +152,23 @@ def compute_ppl_torchscript(generator, gvars, ts_path: str, n_samples: int,
 
 def ppl_from_distances(dists: np.ndarray) -> float:
     """Mean over the [p1, p99] interquantile distances (the upstream
-    outlier filter — single extreme segments otherwise dominate)."""
+    outlier filter — single extreme segments otherwise dominate; lower/
+    higher percentile rounding matches upstream's
+    ``np.percentile(..., interpolation='lower'/'higher')``)."""
     dists = np.asarray(dists, np.float64)
-    lo, hi = np.percentile(dists, 1), np.percentile(dists, 99)
+    lo = np.percentile(dists, 1, method="lower")
+    hi = np.percentile(dists, 99, method="higher")
     return float(dists[(dists >= lo) & (dists <= hi)].mean())
 
 
 def compute_ppl(generator, gvars, lpips, lparams, n_samples: int,
                 batch_size: int, seed: int = 0,
-                epsilon: float = 1e-4) -> float:
+                epsilon: float = 1e-4, sampling: str = "end") -> float:
     """PPL over ``n_samples`` path segments, deterministic in ``seed``
     (per-batch keys fold off the seed root, disjoint from training
     streams)."""
-    sampler = make_ppl_sampler(generator, lpips, batch_size, epsilon)
+    sampler = make_ppl_sampler(generator, lpips, batch_size, epsilon,
+                               sampling)
     base = jax.random.PRNGKey(seed)
     out = []
     for j in range(math.ceil(n_samples / batch_size)):
