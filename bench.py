@@ -130,6 +130,12 @@ def run(batch: int, iters: int = 20, compute_dtype: str = "bfloat16",
         "steps_per_sec": 1.0 / dt,
         "images_per_sec": batch / dt,  # real images/step, like the reference's batch accounting
         "compile_s": compile_s,
+        # Cold vs warm first step (VERDICT r3 item 5): a persistent-cache
+        # hit makes the first step ~25 s through the relay; a cold compile
+        # of the flagship step is ~8 min (BENCH_r03: 470 s). Anything over
+        # a minute means the cache missed — expected after graph-changing
+        # edits, and `main.py prewarm` pays it ahead of training.
+        "compile_cold": compile_s > 60.0,
         "total_loss": loss,
     }
     if remat:

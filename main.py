@@ -31,6 +31,7 @@ from viscoin_tpu.cli.style_mixing import style_mixing  # noqa: E402
 from viscoin_tpu.cli.logs import logs  # noqa: E402
 from viscoin_tpu.cli.serve import export_serving_cmd, serve  # noqa: E402
 from viscoin_tpu.cli.test import test  # noqa: E402
+from viscoin_tpu.cli.prewarm import prewarm  # noqa: E402
 from viscoin_tpu.cli.to_pickle import to_pickle  # noqa: E402
 from viscoin_tpu.cli.train import train  # noqa: E402
 
@@ -50,6 +51,7 @@ def main():
 
 
 main.add_command(train)
+main.add_command(prewarm)
 main.add_command(test)
 main.add_command(to_pickle)
 main.add_command(amplify)

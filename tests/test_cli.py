@@ -2,7 +2,6 @@
 main.py + viscoin/cli/*)."""
 
 import json
-import os
 
 import numpy as np
 import pytest
@@ -52,6 +51,21 @@ def test_cli_test_classifier_synthetic(tmp_path, monkeypatch):
                                   "--batch-size", "4"])
     assert result.exit_code == 0, result.output
     assert "Accuracy:" in result.output and "Loss:" in result.output
+
+
+def test_cli_prewarm_synthetic(tmp_path, monkeypatch):
+    """`prewarm` AOT-compiles the train step + sampler under the given flags
+    (the compile-cache warm-up for `train viscoin`) and reports progress."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "prewarm", "--dataset", "synthetic", "--batch-size", "2",
+        "--epochs", "10", "--no-data-parallel"])
+    assert result.exit_code == 0, result.output
+    assert "train step:" in result.output and "done" in result.output
 
 
 def test_cli_logs_roundtrip(tmp_path):
@@ -106,7 +120,6 @@ def test_cli_train_gan_synthetic(tmp_path, monkeypatch):
     gvars = ckpt.restore_pytree(str(tmp_path / "gan-synth"))
     assert "params" in gvars and "moving_stats" in gvars
     # restored variables drive the generator (the `train viscoin` handoff)
-    import jax
     import jax.numpy as jnp
 
     from viscoin_tpu.models.stylegan import Generator

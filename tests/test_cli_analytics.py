@@ -7,12 +7,10 @@ import matplotlib
 
 matplotlib.use("Agg")
 
-import numpy as np
 import pytest
 from click.testing import CliRunner
 
 import jax
-import jax.numpy as jnp
 
 from viscoin_tpu.models.bundle import VisCoINModels, init_models
 from viscoin_tpu.models.concept_extractor import ConceptExtractor

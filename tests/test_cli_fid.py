@@ -4,7 +4,6 @@ generator config inference from a checkpoint."""
 import json
 
 import numpy as np
-import pytest
 from click.testing import CliRunner
 
 import jax

@@ -2,8 +2,6 @@
 (same on-disk layout as the reference's kaggle download,
 viscoin/datasets/cub.py:62-91)."""
 
-import os
-
 import numpy as np
 import pytest
 from PIL import Image

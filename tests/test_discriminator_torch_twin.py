@@ -10,7 +10,6 @@ import math
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")

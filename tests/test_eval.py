@@ -17,8 +17,8 @@ from viscoin_tpu.eval.fid import FeatureStats, frechet_distance
 from viscoin_tpu.eval.viscoin import amplify_concepts, make_amplify_fns
 from viscoin_tpu.eval.viscoin import test_viscoin as eval_viscoin
 from viscoin_tpu.models.bundle import VisCoINModels, init_models
-from viscoin_tpu.models.concept_extractor import ConceptExtractor
 from viscoin_tpu.models.concept2clip import Concept2CLIP
+from viscoin_tpu.models.concept_extractor import ConceptExtractor
 from viscoin_tpu.models.explainer import Explainer
 from viscoin_tpu.models.lpips import LPIPS
 from viscoin_tpu.models.resnet import Classifier

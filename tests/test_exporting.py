@@ -231,7 +231,7 @@ def test_port_weights_export_stylegan_script(tmp_path, monkeypatch):
     import sys
 
     from viscoin_tpu.models.stylegan import Discriminator
-    from viscoin_tpu.utils.checkpoints import restore_pytree, save_pytree
+    from viscoin_tpu.utils.checkpoints import save_pytree
 
     generator = _tiny_generator()
     gvars = generator.init({"params": jax.random.PRNGKey(8)},

@@ -424,8 +424,6 @@ def test_lazy_reg_optimizer_adjustment():
                             ppl_interval=4, r1_interval=16)
     # optax.adam embeds the hyperparams in the transform closure; probe via
     # a one-step update on a scalar param with unit gradient.
-    import optax
-
     def first_step_scale(tx):
         p = {"w": jnp.zeros(())}
         s = tx.init(p)

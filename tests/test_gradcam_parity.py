@@ -5,7 +5,6 @@ bit-for-tolerance on the same weights and latents."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")

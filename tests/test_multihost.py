@@ -15,8 +15,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "multihost_worker.py")
 

@@ -6,9 +6,10 @@ conv2d_resample padding arithmetic, and modulated conv demodulation math.
 """
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
-import pytest
 
 from viscoin_tpu.ops import (
     bias_act,

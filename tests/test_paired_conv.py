@@ -7,10 +7,11 @@ torch-twin LPIPS parity test (test_lpips_parity.py) doubles as an
 end-to-end numerical check of the pairing.
 """
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
+
+import jax
+import jax.numpy as jnp
 from jax import lax
 
 from viscoin_tpu.models.lpips import VGG16Features

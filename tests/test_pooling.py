@@ -2,9 +2,10 @@
 reduce_window/select-and-scatter path it replaces in the LPIPS VGG."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
-import pytest
 from flax import linen as nn
 
 from viscoin_tpu.ops.pooling import max_pool_2x2

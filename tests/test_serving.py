@@ -4,7 +4,6 @@ export artifacts."""
 import io
 import json
 import threading
-import time
 import urllib.request
 
 import numpy as np
@@ -433,8 +432,6 @@ def test_cli_registers_serving_commands():
     from main import main
 
     assert {"serve", "export-serving"} <= set(main.commands)
-    import click
-
     for name in ("serve", "export-serving"):
         runner = __import__("click.testing", fromlist=["CliRunner"]).CliRunner()
         res = runner.invoke(main.commands[name], ["--help"])

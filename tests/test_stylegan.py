@@ -4,12 +4,11 @@ Reference parity targets: stylegan2_ada/training/networks.py and
 viscoin/models/gan.py (see docstrings in viscoin_tpu/models/stylegan.py).
 """
 
-import math
-
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
-import pytest
 
 from viscoin_tpu.models.stylegan import (
     FullyConnected,

@@ -4,7 +4,6 @@ converters, and require exact tree equality plus a working forward — proving
 key mapping, transposes and noise-buffer routing are self-consistent."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

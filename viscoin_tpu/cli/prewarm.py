@@ -1,0 +1,134 @@
+"""`prewarm` command: compile the `train viscoin` programs into the
+persistent compile cache ahead of time.
+
+The first step of a fresh `train viscoin` pays a full XLA compile of the
+five-forward ensemble step — ~8 minutes cold through a remote-attached
+(relay) compiler (BENCH_r03: compile_s=470 s cold vs ~25 s warm). The CLI
+enables the persistent compilation cache (main.py), so that cost is paid
+once per (program, compiler) — this command pays it explicitly, with
+progress output, instead of as a silent stall inside the first training
+step.
+
+Correctness of the warm-up: weights ride the jitted programs as runtime
+ARGUMENTS (never closures — CLAUDE.md), so the compiled HLO depends only on
+shapes, dtypes, the config constants baked at trace time (lr schedule,
+iteration count, loss coefficients), the mesh, and the compiler options.
+Prewarming with randomly-initialized models under the SAME flags therefore
+produces byte-identical cache keys to the real run. The flags here are the
+exact compile-relevant subset of `train viscoin`'s: pass the same values
+you will train with.
+"""
+
+from __future__ import annotations
+
+import click
+
+from viscoin_tpu.cli.utils import batch_size, dataset, device, learning_rate
+
+
+@click.command()
+@dataset
+@device
+@batch_size
+@learning_rate
+@click.option("--epochs", type=int, default=100_000, show_default=True,
+              help="Iteration count you will train with (baked into the "
+                   "compiled lr-decay schedule — must match)")
+@click.option("--gradient-accumulation-steps", type=int, default=1,
+              show_default=True)
+@click.option("--data-parallel/--no-data-parallel", default=True,
+              show_default=True)
+@click.option("--model-parallel", type=int, default=1, show_default=True)
+@click.option("--compute-dtype", type=click.Choice(["bfloat16", "float32"]),
+              default="bfloat16", show_default=True)
+@click.option("--image-size", type=int, default=None,
+              help="Override the dataset's decode size (matches `train "
+                   "viscoin --image-size`)")
+def prewarm(dataset, device, batch_size, learning_rate, epochs,
+            gradient_accumulation_steps, data_parallel, model_parallel,
+            compute_dtype, image_size):
+    """Pre-compile the `train viscoin` step + sampler into the compile
+    cache (pass the SAME flags you will train with)."""
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from viscoin_tpu.cli.train import _build_mesh, _dataset_kwargs
+    from viscoin_tpu.data.utils import get_datasets
+    from viscoin_tpu.models.bundle import default_models, init_models
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.train.viscoin import (
+        VisCoINTrainingParams,
+        create_train_state,
+        fake_sample_keys,
+        make_frozen,
+        make_jitted_train_step,
+        make_sample_fakes,
+    )
+
+    # Same shape sources as _train_viscoin: the dataset decides
+    # n_classes/out_size.
+    ds_kwargs = _dataset_kwargs(dataset, image_size)
+    train_ds, _ = get_datasets(dataset, train_only=True, **ds_kwargs)
+    n_classes, size = train_ds.N_CLASSES, train_ds.out_size
+    mesh = _build_mesh(data_parallel, model_parallel)
+    cfg = VisCoINTrainingParams(
+        learning_rate=learning_rate, iterations=epochs, batch_size=batch_size,
+        gradient_accumulation=gradient_accumulation_steps,
+        compute_dtype=compute_dtype,
+    )
+    click.echo(f"prewarm: {n_classes} classes, {size}² images, batch "
+               f"{batch_size}, {compute_dtype}, mesh="
+               f"{dict(mesh.shape) if mesh is not None else None}")
+
+    models = default_models(n_classes=n_classes, img_resolution=size,
+                            channel_base=16384)
+    models = init_models(models, jax.random.PRNGKey(0), image_size=size)
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
+                          channel_base=16384, mapping_layers=2)
+    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)),
+        noise_mode="const")
+    lpips = LPIPS()
+    lparams = jax.jit(lpips.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, size, size, 3)))["params"]
+
+    step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh,
+                                  external_fakes=True)
+    sampler = make_sample_fakes(generator, cfg, mesh=mesh)
+    frozen = make_frozen(models, gvars, lparams, compute_dtype=compute_dtype)
+    state = create_train_state(models, cfg)
+    if mesh is not None:
+        from viscoin_tpu.parallel.mesh import replicate
+
+        frozen = replicate(mesh, frozen)
+        state = replicate(mesh, state)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch_size, size, size, 3),
+                                      dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, n_classes, batch_size)
+                         .astype(np.int32))
+    keys = fake_sample_keys(jax.random.PRNGKey(0), 0,
+                            max(1, cfg.fake_presample_steps))
+
+    # AOT compile (no execution): .lower().compile() runs the same backend
+    # compile as the first step would and lands in the persistent cache.
+    t0 = time.time()
+    click.echo("compiling frozen-GAN sampler...")
+    sampler.lower(frozen, keys).compile()
+    t1 = time.time()
+    click.echo(f"  sampler: {t1 - t0:.1f}s")
+    click.echo("compiling train step (the big one — minutes when cold)...")
+    step.lower(state, frozen, images, labels, jax.random.PRNGKey(0),
+               jnp.zeros((batch_size, size, size, 3), jnp.dtype(compute_dtype))
+               ).compile()
+    click.echo(f"  train step: {time.time() - t1:.1f}s")
+    click.echo("done — a `train viscoin` run with these flags starts warm "
+               "(cache: see JAX_COMPILATION_CACHE_DIR, default "
+               "~/.cache/jax_comp_cache)")

@@ -507,9 +507,11 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
             Image.fromarray(grid).save(f"fakes_{i:06d}.png")
         if checkpoint_every and i > start and i % checkpoint_every == 0 \
                 and jax.process_index() == 0:
-            ckpt.save_gan_train_state(state, state_path, meta=resume_meta)
+            ckpt.save_gan_train_state(state, state_path, meta=resume_meta,
+                                      async_save=True)
 
     if jax.process_index() == 0:
+        ckpt.wait_for_saves()  # mid-run async saves commit before the final
         ckpt.save_gan_train_state(state, state_path, meta=resume_meta)
         ckpt.save_pytree(export_generator_vars(state, g_extras), output_weights)
         click.echo(f"saved EMA generator variables to {output_weights} "

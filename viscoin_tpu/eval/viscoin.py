@@ -29,7 +29,6 @@ from viscoin_tpu.eval.fid import FeatureStats, fid_from_stats
 from viscoin_tpu.models.bundle import VisCoINModels
 from viscoin_tpu.models.concept_extractor import max_pool_concepts
 from viscoin_tpu.models.explainer import Explainer
-from viscoin_tpu.train import losses as L
 from viscoin_tpu.utils.types import TestingResults
 
 

@@ -19,7 +19,6 @@ argmax (EOT) token.
 from __future__ import annotations
 
 import os
-from typing import Literal
 
 import numpy as np
 import jax

@@ -8,7 +8,6 @@ StyleGAN variant — to the CLIP embedding dim, hidden size = (in + out) // 2.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from viscoin_tpu.models.stylegan import flatten_concepts

@@ -21,9 +21,10 @@ stride 2 for 7→3, realized here as an exact matmul contraction.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 

@@ -33,9 +33,10 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from viscoin_tpu.ops import bias_act, modulated_conv2d, setup_filter, upsample2d

@@ -43,9 +43,10 @@ pure function of (images, p, key) — deterministic resume holds.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _per_image(key, b):

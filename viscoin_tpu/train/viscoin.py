@@ -271,29 +271,25 @@ def make_sample_fakes(generator_gan, cfg: VisCoINTrainingParams, mesh=None):
     )
 
 
-def make_train_step(
+def make_loss_fn(
     models: VisCoINModels,
     generator_gan,  # stylegan.Generator module (original, frozen)
     lpips_module,
     cfg: VisCoINTrainingParams,
-    preprocess: bool = True,
-    external_fakes: bool = False,
 ):
-    """Build the train step.
+    """The step's total-loss function (reference: training/viscoin.py:163-215
+    — five forwards + the six-term objective), factored out of
+    :func:`make_train_step` so the training-dynamics twin tests can take
+    ``jax.grad`` of EXACTLY what the step differentiates.
 
-    Returns step(state, frozen, images_u8 (B,H,W,3) uint8, labels (B,), rng)
-    -> (state, metrics dict), where ``frozen`` is the pytree from
-    :func:`make_frozen` (device-resident; passing it per call is free).
-    With ``external_fakes`` the step takes an extra ``fake`` argument
-    ((B,H,W,3), from :func:`make_sample_fakes`) instead of running the
-    frozen original GAN inside the step (see
-    ``VisCoINTrainingParams.fake_presample_steps``)."""
-
+    Returns ``loss_fn(params, frozen, real, labels, step, rng, fake) ->
+    (total, metrics)`` where ``real`` is the preprocessed float batch and
+    ``fake`` is an externally-sampled synthetic batch (or None to sample the
+    frozen original GAN in-graph)."""
     classifier = models.classifier
     psi = models.concept_extractor
     theta = models.explainer
     gan = models.gan
-    tx, gan_tx = make_optimizers(cfg)
 
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     cast = make_cast(compute_dtype)
@@ -417,6 +413,29 @@ def make_train_step(
             "total_loss": total,
         }
         return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    models: VisCoINModels,
+    generator_gan,  # stylegan.Generator module (original, frozen)
+    lpips_module,
+    cfg: VisCoINTrainingParams,
+    preprocess: bool = True,
+    external_fakes: bool = False,
+):
+    """Build the train step.
+
+    Returns step(state, frozen, images_u8 (B,H,W,3) uint8, labels (B,), rng)
+    -> (state, metrics dict), where ``frozen`` is the pytree from
+    :func:`make_frozen` (device-resident; passing it per call is free).
+    With ``external_fakes`` the step takes an extra ``fake`` argument
+    ((B,H,W,3), from :func:`make_sample_fakes`) instead of running the
+    frozen original GAN inside the step (see
+    ``VisCoINTrainingParams.fake_presample_steps``)."""
+    tx, gan_tx = make_optimizers(cfg)
+    loss_fn = make_loss_fn(models, generator_gan, lpips_module, cfg)
 
     def train_step(state: TrainState, frozen, images_u8, labels, rng, fake=None):
         if preprocess:
@@ -667,9 +686,12 @@ def train_viscoin(
                     checkpoint_dir,
                     f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
                 ))
+                # async: the host snapshot is taken here (the step donates
+                # the state), serialization + disk write ride the background
+                # writer — the loop continues into the next step.
                 ckpt.save_train_state(
                     state, os.path.join(checkpoint_dir, "train_state"),
-                    meta=resume_meta)
+                    meta=resume_meta, async_save=True)
 
         if (faithfulness_every and i % faithfulness_every == 0 and i > 0
                 and jax.process_index() == 0):
@@ -713,6 +735,7 @@ def train_viscoin(
                   f"reconstruction): mean = {np.mean(probs)} --- std = {np.std(probs)}")
 
     sync_models()
+    ckpt.wait_for_saves()  # join (and surface errors from) async checkpoints
     return models
 
 

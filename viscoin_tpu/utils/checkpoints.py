@@ -15,8 +15,9 @@ import json
 import os
 from typing import Any
 
-import jax
 import numpy as np
+
+import jax
 import orbax.checkpoint as ocp
 
 from viscoin_tpu.models.bundle import VisCoINModels
@@ -38,6 +39,70 @@ def _to_host(tree):
 
 _NPZ_NAME = "arrays.npz"
 
+# ---------------- atomic + asynchronous saving ---------------- #
+# The reference saves synchronously on the training thread (SURVEY.md §5);
+# on a relay-attached TPU an orbax save of the full train state stalls the
+# step pipeline. Saves here are (a) ATOMIC — the checkpoint is written into
+# a `.tmp` sibling and swapped in via renames, so a crash at ANY point
+# leaves either the previous or the new checkpoint loadable (`.old` is the
+# fallback for the one window between the two renames) — and (b) optionally
+# ASYNC — the device→host snapshot happens synchronously (the jitted steps
+# DONATE the state buffers, so they must be copied out before the next
+# step), then serialization + disk I/O run on one background writer thread,
+# serialized in submission order.
+
+_OLD_SUFFIX = ".old"
+_TMP_SUFFIX = ".tmp"
+_writer = None  # lazy single-thread executor
+_pending: list = []
+
+
+def _writer_pool():
+    global _writer
+    if _writer is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _writer = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="ckpt-writer")
+    return _writer
+
+
+def _atomic_install(path: str, write_fn):
+    """Run ``write_fn(tmp_dir)`` then swap tmp into place. Crash windows:
+    during write → previous checkpoint untouched; between the two renames →
+    previous survives as ``<path>.old`` (restore_pytree falls back to it);
+    after → new checkpoint in place."""
+    import shutil
+
+    path = _abs(path)
+    tmp, old = path + _TMP_SUFFIX, path + _OLD_SUFFIX
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _resolve_existing(path: str) -> str:
+    """The committed checkpoint directory: ``path``, or the ``.old``
+    fallback left by a crash between the install renames."""
+    path = _abs(path)
+    if not os.path.exists(path) and os.path.exists(path + _OLD_SUFFIX):
+        return path + _OLD_SUFFIX
+    return path
+
+
+def wait_for_saves():
+    """Block until every pending async save has committed; re-raises the
+    first writer error. Call before process exit and before restoring a
+    path that may still be in flight (the train loops do both)."""
+    global _pending
+    pending, _pending = _pending, []
+    for fut in pending:
+        fut.result()
+
 
 def _path_str(entry) -> str:
     if isinstance(entry, jax.tree_util.DictKey):
@@ -55,19 +120,40 @@ def _flat_keys(tree) -> tuple[list[str], list, Any]:
     return keys, [v for _, v in flat], treedef
 
 
-def save_pytree(tree: Any, path: str):
-    """Single-process: orbax. Multi-process: a flat .npz written by THE
+def save_pytree(tree: Any, path: str, async_save: bool = False,
+                extra_files: dict | None = None):
+    """Atomic checkpoint write (see the module-level saving notes).
+
+    Single-process: orbax. Multi-process: a flat .npz written by THE
     CALLING process only — orbax checkpointing is a collective operation
     (it synchronizes all JAX processes), so a process-0-guarded orbax save
-    under multi-host training deadlocks at the barrier."""
-    if jax.process_count() > 1:
-        keys, vals, _ = _flat_keys(_to_host(tree))
-        os.makedirs(_abs(path), exist_ok=True)
-        np.savez(os.path.join(_abs(path), _NPZ_NAME),
-                 **dict(zip(keys, [np.asarray(v) for v in vals])))
-        return
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(_abs(path), _to_host(tree), force=True)
+    under multi-host training deadlocks at the barrier.
+
+    ``async_save=True``: snapshot to host NOW (the jitted steps donate the
+    state buffers — the copy cannot be deferred), then serialize + write on
+    the background writer thread; :func:`wait_for_saves` joins/raises.
+
+    ``extra_files``: {filename: text} written INSIDE the atomic unit (meta /
+    config JSON land in the same tmp dir and rename with the arrays — a
+    checkpoint can never exist without its metadata)."""
+    host = _to_host(tree)
+
+    def write(tmp):
+        if jax.process_count() > 1:
+            keys, vals, _ = _flat_keys(host)
+            os.makedirs(tmp, exist_ok=True)
+            np.savez(os.path.join(tmp, _NPZ_NAME),
+                     **dict(zip(keys, [np.asarray(v) for v in vals])))
+        else:
+            ocp.PyTreeCheckpointer().save(tmp, host, force=True)
+        for name, text in (extra_files or {}).items():
+            with open(os.path.join(tmp, name), "w") as f:
+                f.write(text)
+
+    if async_save:
+        _pending.append(_writer_pool().submit(_atomic_install, path, write))
+    else:
+        _atomic_install(path, write)
 
 
 def _unflatten_npz(data) -> dict:
@@ -82,6 +168,10 @@ def _unflatten_npz(data) -> dict:
 
 
 def restore_pytree(path: str, template: Any | None = None) -> Any:
+    # Same-process resume after async saves: drain the writer first so a
+    # restore never reads a checkpoint that is still being installed.
+    wait_for_saves()
+    path = _resolve_existing(path)
     npz = os.path.join(_abs(path), _NPZ_NAME)
     if os.path.exists(npz):
         data = np.load(npz)
@@ -126,9 +216,8 @@ def save_viscoin(models: VisCoINModels, path: str):
         "explainer": models.explainer_params,
         "gan": models.gan_vars,
     }
-    save_pytree(tree, path)
-    with open(os.path.join(_abs(path), _CONFIG_NAME), "w") as f:
-        json.dump(_module_config(models), f, indent=2)
+    save_pytree(tree, path, extra_files={
+        _CONFIG_NAME: json.dumps(_module_config(models), indent=2)})
 
 
 def load_viscoin(models: VisCoINModels, path: str) -> VisCoINModels:
@@ -144,7 +233,7 @@ def load_viscoin(models: VisCoINModels, path: str) -> VisCoINModels:
 def load_viscoin_bundle(path: str) -> VisCoINModels:
     """Load a self-describing checkpoint into a freshly built bundle
     (reference: load_viscoin_pickle, models/utils.py:229-233)."""
-    with open(os.path.join(_abs(path), _CONFIG_NAME)) as f:
+    with open(os.path.join(_resolve_existing(path), _CONFIG_NAME)) as f:
         cfg = json.load(f)
     for key in ("classifier", "concept_extractor"):
         for f_ in ("hidden_sizes", "depths"):
@@ -167,14 +256,9 @@ load_viscoin_pickle = load_viscoin_bundle
 _META_NAME = "train_state_meta.json"
 
 
-def _save_meta(path: str, meta: dict | None):
-    if meta is not None:
-        with open(os.path.join(_abs(path), _META_NAME), "w") as f:
-            json.dump(meta, f, indent=2)
-
-
 def _check_meta(path: str, expect_meta: dict | None):
-    meta_path = os.path.join(_abs(path), _META_NAME)
+    wait_for_saves()  # the meta file may still be riding the async writer
+    meta_path = os.path.join(_resolve_existing(path), _META_NAME)
     if expect_meta is None or not os.path.exists(meta_path):
         return
     with open(meta_path) as f:
@@ -191,7 +275,8 @@ def _check_meta(path: str, expect_meta: dict | None):
             + ", ".join(f"{k}: {a} != {b}" for k, (a, b) in diffs.items()))
 
 
-def save_train_state(state, path: str, meta: dict | None = None):
+def save_train_state(state, path: str, meta: dict | None = None,
+                     async_save: bool = False):
     """Save the full VisCoIN TrainState (step, params, both opt states) —
     deterministic resume, which the reference lacks (SURVEY.md §5).
 
@@ -202,9 +287,10 @@ def save_train_state(state, path: str, meta: dict | None = None):
     save_pytree(
         {"step": state.step, "params": state.params,
          "opt_state": state.opt_state, "gan_opt_state": state.gan_opt_state},
-        path,
+        path, async_save=async_save,
+        extra_files=({_META_NAME: json.dumps(meta, indent=2)}
+                     if meta is not None else None),
     )
-    _save_meta(path, meta)
 
 
 def restore_train_state(state, path: str, expect_meta: dict | None = None):
@@ -223,15 +309,18 @@ def restore_train_state(state, path: str, expect_meta: dict | None = None):
                          gan_opt_state=tree["gan_opt_state"])
 
 
-def save_gan_train_state(state, path: str, meta: dict | None = None):
+def save_gan_train_state(state, path: str, meta: dict | None = None,
+                         async_save: bool = False):
     """Save the full GANTrainState (G/D params + opt states, EMA, w_avg,
     pl_mean, ada state) for mid-run checkpointing of `train gan` — the
     upstream trainer snapshots pickles on a kimg cadence; this is the orbax
     equivalent."""
     from flax import serialization
 
-    save_pytree(serialization.to_state_dict(state), path)
-    _save_meta(path, meta)
+    save_pytree(serialization.to_state_dict(state), path,
+                async_save=async_save,
+                extra_files=({_META_NAME: json.dumps(meta, indent=2)}
+                             if meta is not None else None))
 
 
 def restore_gan_train_state(state, path: str, expect_meta: dict | None = None):
