@@ -21,6 +21,13 @@ checkpoints:
   what ``make_train_step`` differentiates) to match for every trainable
   leaf: Psi, Theta, and the adapted mapping incl. ``fixed_w_avg``.
 
+* ``test_gan_step_gradients_match_torch_twin`` — the same treatment for the
+  in-framework GAN trainer (``make_gan_loss_fns``): non-saturating G loss
+  with style mixing, D loss with the lazy R1 second-order penalty, and the
+  path-length penalty with NVlabs' NON-detached pl_mean — plus a
+  sensitivity check that detaching pl_mean (dropping the -2·decay/B cross
+  term) makes the gradients measurably different.
+
 Determinism bridges: the twins replay the step's rng chain (flip keys), and
 the explainer's dropout mask is extracted from the flax side via
 ``capture_intermediates`` (flax ``nn.Dropout`` is a submodule, so its output
@@ -431,3 +438,247 @@ def test_viscoin_step_gradients_match_torch_twin():
     check(grads["concept_extractor"], want_psi, "psi")
     check(grads["explainer"], want_theta, "theta")
     check(grads["mapping"], want_map, "mapping")
+
+
+# ---------------------------------------------------------------------------
+# (c) the in-framework GAN trainer: gradient parity of the full objective,
+#     including both SECOND-ORDER terms (R1; PPL with its non-detached
+#     pl_mean cross term), vs float64 torch double-backward
+# ---------------------------------------------------------------------------
+
+
+def _torch_mapping(z, sd, num_layers, num_ws, lr_mult=0.01):
+    """NVlabs MappingNetwork twin: normalize_2nd_moment + equalized-LR
+    lrelu FCs, broadcast to num_ws (reference: networks.py)."""
+    x = z * torch.rsqrt(torch.mean(z ** 2, dim=1, keepdim=True) + 1e-8)
+    for i in range(num_layers):
+        w, b = sd[f"mapping.fc{i}.weight"], sd[f"mapping.fc{i}.bias"]
+        x = x @ (w * (lr_mult / math.sqrt(w.shape[1]))).t() + b * lr_mult
+        x = F.leaky_relu(x, 0.2) * math.sqrt(2.0)
+    return x[:, None, :].repeat(1, num_ws, 1)
+
+
+def test_gan_step_gradients_match_torch_twin():
+    """jax.grad of the GAN step's loss fns (make_gan_loss_fns — exactly what
+    make_gan_train_step differentiates) == float64 torch autograd through
+    the composed mapping/synthesis/discriminator twins, for the
+    non-saturating G loss WITH style mixing, the D loss WITH the lazy R1
+    second-order penalty, and the path-length penalty WITH NVlabs'
+    non-detached pl_mean (the -2·decay/B cross term a detach would drop)."""
+    import test_discriminator_torch_twin as d_twin
+    import test_synthesis_torch_twin as syn_twin
+    from viscoin_tpu.models.stylegan import Discriminator, Generator
+    from viscoin_tpu.train.gan import GANTrainingParams, make_gan_loss_fns
+    from viscoin_tpu.utils.porting import (
+        convert_torch_discriminator,
+        convert_torch_generator,
+    )
+
+    R, B, ZD, WD, NL = 16, 4, 16, 32, 2
+    cbase, cmax = 256, 32
+    num_ws = 2 * int(math.log2(R)) - 2
+    rng_np = np.random.default_rng(3)
+
+    def channels(res):
+        return min(cbase // res, cmax)
+
+    # --- weights (float64 torch is the source of truth) ---
+    syn_sd = syn_twin.random_state_dict(rng_np, R, channels)
+    for k in list(syn_sd):
+        if k.endswith("noise_strength"):
+            syn_sd[k] = torch.zeros_like(syn_sd[k])  # neutralize noise_mode
+    g_sd = {f"synthesis.{k}": v.clone() for k, v in syn_sd.items()}
+    for i in range(NL):
+        fin = ZD if i == 0 else WD
+        g_sd[f"mapping.fc{i}.weight"] = torch.as_tensor(
+            rng_np.standard_normal((WD, fin)) * 100.0)  # /lr_mult init scale
+        g_sd[f"mapping.fc{i}.bias"] = torch.as_tensor(
+            rng_np.standard_normal(WD) * 0.1)
+
+    d_sd = {}
+    resolutions = [2 ** i for i in range(int(math.log2(R)), 2, -1)]
+    for i, res in enumerate(resolutions):
+        tmp, out = channels(res), channels(res // 2)
+        if i == 0:
+            d_sd[f"b{res}.fromrgb.weight"] = torch.as_tensor(
+                rng_np.standard_normal((tmp, 3, 1, 1)))
+            d_sd[f"b{res}.fromrgb.bias"] = torch.as_tensor(
+                rng_np.standard_normal(tmp) * 0.1)
+        d_sd[f"b{res}.conv0.weight"] = torch.as_tensor(
+            rng_np.standard_normal((tmp, tmp, 3, 3)))
+        d_sd[f"b{res}.conv0.bias"] = torch.as_tensor(
+            rng_np.standard_normal(tmp) * 0.1)
+        d_sd[f"b{res}.conv1.weight"] = torch.as_tensor(
+            rng_np.standard_normal((out, tmp, 3, 3)))
+        d_sd[f"b{res}.conv1.bias"] = torch.as_tensor(
+            rng_np.standard_normal(out) * 0.1)
+        d_sd[f"b{res}.skip.weight"] = torch.as_tensor(
+            rng_np.standard_normal((out, tmp, 1, 1)))
+    c4 = channels(4)
+    d_sd["b4.conv.weight"] = torch.as_tensor(
+        rng_np.standard_normal((c4, c4 + 1, 3, 3)))
+    d_sd["b4.conv.bias"] = torch.as_tensor(rng_np.standard_normal(c4) * 0.1)
+    d_sd["b4.fc.weight"] = torch.as_tensor(
+        rng_np.standard_normal((c4, c4 * 16)))
+    d_sd["b4.fc.bias"] = torch.as_tensor(rng_np.standard_normal(c4) * 0.1)
+    d_sd["b4.out.weight"] = torch.as_tensor(rng_np.standard_normal((1, c4)))
+    d_sd["b4.out.bias"] = torch.as_tensor(rng_np.standard_normal(1) * 0.1)
+    g_sd = {k: v.double() for k, v in g_sd.items()}
+    d_sd = {k: v.double() for k, v in d_sd.items()}
+
+    # --- port into the framework ---
+    gvars = convert_torch_generator(
+        {k: v.numpy().astype(np.float32) for k, v in g_sd.items()},
+        img_resolution=R)
+    g_params, g_extras = gvars["params"], {
+        "noise": gvars["noise"], "moving_stats": gvars["moving_stats"]}
+    d_params = convert_torch_discriminator(
+        {k: v.numpy().astype(np.float32) for k, v in d_sd.items()}, R)
+
+    generator = Generator(z_dim=ZD, w_dim=WD, img_resolution=R,
+                          channel_base=cbase, channel_max=cmax,
+                          mapping_layers=NL)
+    discriminator = Discriminator(img_resolution=R, channel_base=cbase,
+                                  channel_max=cmax)
+    cfg = GANTrainingParams(batch_size=B, augment="none",
+                            compute_dtype="float32")
+    fns = make_gan_loss_fns(generator, discriminator, cfg)
+
+    # --- shared inputs ---
+    z = rng_np.standard_normal((B, ZD)).astype(np.float32)
+    z_mix = rng_np.standard_normal((B, ZD)).astype(np.float32)
+    real = np.clip(rng_np.standard_normal((B, R, R, 3)), -1, 1).astype(
+        np.float32)
+    cutoff = 3  # fixed: mixing ACTIVE (layers >= 3 take z_mix styles)
+    k_noise, k_aug, k_pl = jax.random.split(jax.random.PRNGKey(9), 3)
+    pl_mean0 = 0.37
+
+    def mixed_torch(gs):
+        ws = _torch_mapping(torch.from_numpy(z).double(), gs, NL, num_ws)
+        ws_mix = _torch_mapping(torch.from_numpy(z_mix).double(), gs, NL,
+                                num_ws)
+        layer = torch.arange(num_ws)[None, :, None]
+        return torch.where(layer >= cutoff, ws_mix, ws)
+
+    def grad_sd(sd):
+        return {k: (v.grad.numpy() if v.grad is not None
+                    else np.zeros(v.shape)) for k, v in sd.items()}
+
+    def check_g(got, g_sd_grads, label):
+        want = convert_torch_generator(g_sd_grads, img_resolution=R)["params"]
+        flat_g = jax.tree_util.tree_flatten_with_path(got)[0]
+        flat_w = jax.tree_util.tree_flatten_with_path(want)[0]
+        for (pg, gleaf), (pw, wleaf) in zip(flat_g, flat_w):
+            path = jax.tree_util.keystr(pg)
+            assert path == jax.tree_util.keystr(pw)
+            if "noise_strength" in path:
+                continue  # jax draws random noise, the twin uses const
+            g_, w_ = np.asarray(gleaf, np.float64), np.asarray(wleaf,
+                                                              np.float64)
+            scale = max(np.abs(w_).max(), 1e-10)
+            np.testing.assert_allclose(
+                g_, w_, rtol=5e-3, atol=1e-4 * scale,
+                err_msg=f"{label}{path} diverges from the torch twin")
+
+    # ---------------- G loss (non-saturating, style-mixed) ----------------
+    (g_loss_j, _), grads_g = jax.value_and_grad(
+        fns["g_loss_fn"], has_aux=True)(
+        g_params, g_extras, d_params, jnp.asarray(z), jnp.asarray(z_mix),
+        jnp.int32(cutoff), k_noise, jnp.float32(0.0), k_aug)
+
+    gs = {k: v.clone().requires_grad_(True) for k, v in g_sd.items()}
+    fake = syn_twin.synthesis_t(mixed_torch(gs),
+                                {k[len("synthesis."):]: v
+                                 for k, v in gs.items()
+                                 if k.startswith("synthesis.")}, R, channels)
+    logits = d_twin.discriminator_t(fake, d_sd, R, channels, mbstd_group=4)
+    g_loss_t = torch.mean(F.softplus(-logits))
+    g_loss_t.backward()
+    np.testing.assert_allclose(float(g_loss_j), float(g_loss_t.detach()),
+                               rtol=1e-4)
+    check_g(grads_g, grad_sd(gs), "g_loss/")
+
+    # ------------- D loss with the lazy R1 second-order penalty -------------
+    (d_loss_j, (r1_j, _)), grads_d = jax.value_and_grad(
+        fns["d_loss_fn"], has_aux=True)(
+        d_params, g_params, g_extras, jnp.asarray(real), jnp.asarray(z),
+        jnp.asarray(z_mix), jnp.int32(cutoff), k_noise, True,
+        jnp.float32(0.0), k_aug, k_aug)
+
+    ds = {k: v.clone().requires_grad_(True) for k, v in d_sd.items()}
+    with torch.no_grad():
+        fake_const = syn_twin.synthesis_t(mixed_torch(g_sd),
+                                          syn_sd, R, channels)
+    real_t = torch.from_numpy(
+        np.transpose(real, (0, 3, 1, 2)).copy()).double().requires_grad_(True)
+    fake_logits = d_twin.discriminator_t(fake_const, ds, R, channels, 4)
+    real_logits = d_twin.discriminator_t(real_t, ds, R, channels, 4)
+    d_loss_t = torch.mean(F.softplus(fake_logits)) + torch.mean(
+        F.softplus(-real_logits))
+    (grad_real,) = torch.autograd.grad(real_logits.sum(), real_t,
+                                       create_graph=True)
+    r1_t = torch.mean(grad_real.square().sum(dim=(1, 2, 3)))
+    total_d_t = d_loss_t + (cfg.r1_gamma / 2) * r1_t * cfg.r1_interval
+    total_d_t.backward()
+    np.testing.assert_allclose(float(r1_j), float(r1_t.detach()), rtol=1e-4)
+    np.testing.assert_allclose(float(d_loss_j), float(total_d_t.detach()),
+                               rtol=1e-4)
+    want_d = convert_torch_discriminator(grad_sd(ds), R)
+    flat_g = jax.tree_util.tree_flatten_with_path(grads_d)[0]
+    flat_w = jax.tree_util.tree_flatten_with_path(want_d)[0]
+    for (pg, gleaf), (pw, wleaf) in zip(flat_g, flat_w):
+        path = jax.tree_util.keystr(pg)
+        assert path == jax.tree_util.keystr(pw)
+        g_, w_ = np.asarray(gleaf, np.float64), np.asarray(wleaf, np.float64)
+        scale = max(np.abs(w_).max(), 1e-10)
+        np.testing.assert_allclose(g_, w_, rtol=5e-3, atol=1e-4 * scale,
+                                   err_msg=f"d_loss/{path} diverges")
+
+    # -------- PPL penalty: second order, pl_mean NOT detached --------
+    (ppl_j, (_len_j, newmean_j)), grads_p = jax.value_and_grad(
+        fns["ppl_penalty"], has_aux=True)(
+        g_params, g_extras, jnp.asarray(z), k_noise, k_pl,
+        jnp.float32(pl_mean0))
+
+    gs = {k: v.clone().requires_grad_(True) for k, v in g_sd.items()}
+    ws = _torch_mapping(torch.from_numpy(z).double(), gs, NL, num_ws)
+    img = syn_twin.synthesis_t(ws, {k[len("synthesis."):]: v
+                                    for k, v in gs.items()
+                                    if k.startswith("synthesis.")},
+                               R, channels)
+    # the EXACT y draw of the jax side (NHWC -> NCHW)
+    y = np.asarray(jax.random.normal(k_pl, (B, R, R, 3), jnp.float32),
+                   np.float64) / math.sqrt(R * R)
+    y_t = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)).copy())
+    proj = torch.sum(img * y_t)
+    (pl_grads,) = torch.autograd.grad(proj, ws, create_graph=True)
+    pl_lengths = torch.sqrt(pl_grads.square().sum(dim=2).mean(dim=1))
+    new_pl_mean = pl_mean0 + cfg.ppl_decay * (pl_lengths.mean() - pl_mean0)
+    penalty = torch.mean((pl_lengths - new_pl_mean) ** 2) \
+        * cfg.ppl_weight * cfg.ppl_interval
+    penalty.backward()
+    np.testing.assert_allclose(float(ppl_j), float(penalty.detach()),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(newmean_j),
+                               float(new_pl_mean.detach()), rtol=1e-5)
+    check_g(grads_p, grad_sd(gs), "ppl/")
+
+    # the non-detached pl_mean is LIVE: detaching it changes the gradients
+    for v in gs.values():
+        if v.grad is not None:
+            v.grad = None
+    ws = _torch_mapping(torch.from_numpy(z).double(), gs, NL, num_ws)
+    img = syn_twin.synthesis_t(ws, {k[len("synthesis."):]: v
+                                    for k, v in gs.items()
+                                    if k.startswith("synthesis.")},
+                               R, channels)
+    proj = torch.sum(img * y_t)
+    (pl_grads,) = torch.autograd.grad(proj, ws, create_graph=True)
+    pl_lengths = torch.sqrt(pl_grads.square().sum(dim=2).mean(dim=1))
+    detached_mean = (pl_mean0 + cfg.ppl_decay
+                     * (pl_lengths.mean() - pl_mean0)).detach()
+    penalty_det = torch.mean((pl_lengths - detached_mean) ** 2) \
+        * cfg.ppl_weight * cfg.ppl_interval
+    penalty_det.backward()
+    with pytest.raises(AssertionError):
+        check_g(grads_p, grad_sd(gs), "ppl-detached/")

@@ -297,24 +297,18 @@ def make_gan_snapshot_fn(generator, n_images: int):
     return sample
 
 
-def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
-                        preprocess: bool = True, mesh=None):
-    """One jitted alternating G/D step with style mixing, lazy R1/PPL,
-    w_avg tracking and generator EMA.
+def make_gan_loss_fns(generator, discriminator, cfg: GANTrainingParams,
+                      mesh=None):
+    """The GAN step's loss functions, factored out of
+    :func:`make_gan_train_step` (the same seam as viscoin's
+    ``make_loss_fn``) so the training-dynamics twin tests can take
+    ``jax.grad`` of EXACTLY what the step differentiates — in particular
+    the two second-order terms (R1 through the augmentation pipe; PPL with
+    NVlabs' non-detached pl_mean cross term).
 
-    Returns step(state, g_extras, images_u8, rng) -> (state, metrics), where
-    ``g_extras`` is the non-param generator collections pytree from
-    :func:`create_gan_train_state`, passed per call (the make_frozen pattern:
-    buffers must be runtime arguments, not closure constants serialized into
-    the remote-compile HLO payload). With ``mesh``, the batch shards on the
-    ``data`` axis and state replicates (GSPMD all-reduces the gradients over
-    ICI). A 2-D ("data", "model") mesh additionally shards the images' H
-    axis over ``model`` — every discriminator input (real AND generated,
-    incl. the R1 branch) is constrained to the spatial sharding, so GSPMD
-    propagates it through G's synthesis and inserts the conv halo
-    exchanges, like the VisCoIN train step."""
-    g_tx, d_tx = _optimizers(cfg)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    Returns a dict with ``g_loss_fn``, ``d_loss_fn``, ``ppl_penalty``,
+    ``draw_cutoff``, ``map_ws``, ``synth`` (signatures as defined below)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: F401
 
     from viscoin_tpu.parallel.mesh import image_spec
 
@@ -437,6 +431,42 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
         """Fresh mixing decision per run_G call (upstream semantics)."""
         mix = jax.random.bernoulli(k_mix, cfg.style_mixing_prob)
         return jnp.where(mix, jax.random.randint(k_cut, (), 1, num_ws), num_ws)
+
+    return {"g_loss_fn": g_loss_fn, "d_loss_fn": d_loss_fn,
+            "ppl_penalty": ppl_penalty, "draw_cutoff": draw_cutoff,
+            "map_ws": map_ws, "synth": synth}
+
+
+def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
+                        preprocess: bool = True, mesh=None):
+    """One jitted alternating G/D step with style mixing, lazy R1/PPL,
+    w_avg tracking and generator EMA.
+
+    Returns step(state, g_extras, images_u8, rng) -> (state, metrics), where
+    ``g_extras`` is the non-param generator collections pytree from
+    :func:`create_gan_train_state`, passed per call (the make_frozen pattern:
+    buffers must be runtime arguments, not closure constants serialized into
+    the remote-compile HLO payload). With ``mesh``, the batch shards on the
+    ``data`` axis and state replicates (GSPMD all-reduces the gradients over
+    ICI). A 2-D ("data", "model") mesh additionally shards the images' H
+    axis over ``model`` — every discriminator input (real AND generated,
+    incl. the R1 branch) is constrained to the spatial sharding, so GSPMD
+    propagates it through G's synthesis and inserts the conv halo
+    exchanges, like the VisCoIN train step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from viscoin_tpu.parallel.mesh import image_spec
+    from viscoin_tpu.train.augment import ada_update
+    from viscoin_tpu.train.viscoin import make_cast
+
+    g_tx, d_tx = _optimizers(cfg)
+    fns = make_gan_loss_fns(generator, discriminator, cfg, mesh=mesh)
+    g_loss_fn, d_loss_fn = fns["g_loss_fn"], fns["d_loss_fn"]
+    ppl_penalty, draw_cutoff = fns["ppl_penalty"], fns["draw_cutoff"]
+    dt = jnp.dtype(cfg.compute_dtype)
+    cast = make_cast(cfg.compute_dtype)
+    spatial_sh = (NamedSharding(mesh, image_spec(mesh))
+                  if mesh is not None and "model" in mesh.axis_names else None)
 
     def step(state: GANTrainState, g_extras, images_u8, rng):
         (k_flip, kz1, kz1m, kz2, kz2m, kzp, kn1, kn2, knp, kmix, kcut,
