@@ -26,12 +26,12 @@ from viscoin_tpu.cli.concepts import concepts  # noqa: E402
 from viscoin_tpu.cli.dataset_tool import dataset_tool  # noqa: E402
 from viscoin_tpu.cli.fid import fid  # noqa: E402
 from viscoin_tpu.cli.generate import generate  # noqa: E402
-from viscoin_tpu.cli.project import project  # noqa: E402
-from viscoin_tpu.cli.style_mixing import style_mixing  # noqa: E402
 from viscoin_tpu.cli.logs import logs  # noqa: E402
-from viscoin_tpu.cli.serve import export_serving_cmd, serve  # noqa: E402
-from viscoin_tpu.cli.test import test  # noqa: E402
 from viscoin_tpu.cli.prewarm import prewarm  # noqa: E402
+from viscoin_tpu.cli.project import project  # noqa: E402
+from viscoin_tpu.cli.serve import export_serving_cmd, serve  # noqa: E402
+from viscoin_tpu.cli.style_mixing import style_mixing  # noqa: E402
+from viscoin_tpu.cli.test import test  # noqa: E402
 from viscoin_tpu.cli.to_pickle import to_pickle  # noqa: E402
 from viscoin_tpu.cli.train import train  # noqa: E402
 

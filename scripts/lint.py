@@ -101,7 +101,11 @@ def check_file(path: str) -> list[str]:
         if mod is None:
             continue
         line = lines[node.lineno - 1]
-        if "noqa" in line or "isort" in line:
+        # `# noqa: E402` (import-not-at-top, the conftest/main.py pattern)
+        # does NOT exempt a line from ORDER checking — only a bare noqa or
+        # an isort pragma does (ruff's I001 ignores E402 noqas the same way).
+        noqa = "noqa" in line and not ("E402" in line and ":" in line)
+        if noqa or "isort" in line:
             continue
         is_from = int(isinstance(node, ast.ImportFrom))
         seen.append((_group(mod), is_from, mod.lower(), node.lineno))
@@ -175,7 +179,17 @@ def check_file(path: str) -> list[str]:
 
 
 def main(argv: list[str]) -> int:
-    paths = argv or DEFAULT_PATHS
+    # Resolve user-supplied paths BEFORE the chdir (they are cwd-relative),
+    # and refuse paths that don't exist — a typo must not report "0 files,
+    # 0 problem(s)" and exit green.
+    if argv:
+        paths = [os.path.abspath(p) for p in argv]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            print(f"lint: no such path(s): {missing}")
+            return 2
+    else:
+        paths = DEFAULT_PATHS
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.chdir(here)
     all_errors: list[str] = []

@@ -56,11 +56,12 @@ def prewarm(dataset, device, batch_size, learning_rate, epochs,
     import jax
     import jax.numpy as jnp
 
-    from viscoin_tpu.cli.train import _build_mesh, _dataset_kwargs
+    from viscoin_tpu.cli.train import (
+        _build_mesh,
+        _dataset_kwargs,
+        build_viscoin_modules,
+    )
     from viscoin_tpu.data.utils import get_datasets
-    from viscoin_tpu.models.bundle import default_models, init_models
-    from viscoin_tpu.models.lpips import LPIPS
-    from viscoin_tpu.models.stylegan import Generator
     from viscoin_tpu.train.viscoin import (
         VisCoINTrainingParams,
         create_train_state,
@@ -76,32 +77,30 @@ def prewarm(dataset, device, batch_size, learning_rate, epochs,
     train_ds, _ = get_datasets(dataset, train_only=True, **ds_kwargs)
     n_classes, size = train_ds.N_CLASSES, train_ds.out_size
     mesh = _build_mesh(data_parallel, model_parallel)
+    # IgnoreNone: an omitted --batch-size falls through to the dataclass
+    # default exactly like `train viscoin`; use cfg.batch_size from here on.
     cfg = VisCoINTrainingParams(
         learning_rate=learning_rate, iterations=epochs, batch_size=batch_size,
         gradient_accumulation=gradient_accumulation_steps,
         compute_dtype=compute_dtype,
     )
     click.echo(f"prewarm: {n_classes} classes, {size}² images, batch "
-               f"{batch_size}, {compute_dtype}, mesh="
+               f"{cfg.batch_size}, {cfg.compute_dtype}, mesh="
                f"{dict(mesh.shape) if mesh is not None else None}")
 
-    models = default_models(n_classes=n_classes, img_resolution=size,
-                            channel_base=16384)
-    models = init_models(models, jax.random.PRNGKey(0), image_size=size)
-    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
-                          channel_base=16384, mapping_layers=2)
-    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
-        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)),
-        noise_mode="const")
-    lpips = LPIPS()
-    lparams = jax.jit(lpips.init)(
-        jax.random.PRNGKey(2), jnp.zeros((1, size, size, 3)),
-        jnp.zeros((1, size, size, 3)))["params"]
+    # ONE construction site with _train_viscoin (build_viscoin_modules):
+    # the cache key depends on the module definitions, so sharing the
+    # builder guarantees the prewarmed HLO is the training HLO.
+    models, generator, lpips, init_gvars, init_lparams = \
+        build_viscoin_modules(n_classes, size)
+    gvars = init_gvars()
+    lparams = init_lparams()
 
     step = make_jitted_train_step(models, generator, lpips, cfg, mesh=mesh,
                                   external_fakes=True)
     sampler = make_sample_fakes(generator, cfg, mesh=mesh)
-    frozen = make_frozen(models, gvars, lparams, compute_dtype=compute_dtype)
+    frozen = make_frozen(models, gvars, lparams,
+                         compute_dtype=cfg.compute_dtype)
     state = create_train_state(models, cfg)
     if mesh is not None:
         from viscoin_tpu.parallel.mesh import replicate
@@ -110,9 +109,9 @@ def prewarm(dataset, device, batch_size, learning_rate, epochs,
         state = replicate(mesh, state)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (batch_size, size, size, 3),
+    images = jnp.asarray(rng.integers(0, 256, (cfg.batch_size, size, size, 3),
                                       dtype=np.uint8))
-    labels = jnp.asarray(rng.integers(0, n_classes, batch_size)
+    labels = jnp.asarray(rng.integers(0, n_classes, cfg.batch_size)
                          .astype(np.int32))
     keys = fake_sample_keys(jax.random.PRNGKey(0), 0,
                             max(1, cfg.fake_presample_steps))
@@ -126,8 +125,8 @@ def prewarm(dataset, device, batch_size, learning_rate, epochs,
     click.echo(f"  sampler: {t1 - t0:.1f}s")
     click.echo("compiling train step (the big one — minutes when cold)...")
     step.lower(state, frozen, images, labels, jax.random.PRNGKey(0),
-               jnp.zeros((batch_size, size, size, 3), jnp.dtype(compute_dtype))
-               ).compile()
+               jnp.zeros((cfg.batch_size, size, size, 3),
+                         jnp.dtype(cfg.compute_dtype))).compile()
     click.echo(f"  train step: {time.time() - t1:.1f}s")
     click.echo("done — a `train viscoin` run with these flags starts warm "
                "(cache: see JAX_COMPILATION_CACHE_DIR, default "

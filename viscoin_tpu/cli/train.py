@@ -556,17 +556,50 @@ def _load_fid_detector(path: str):
     return make_fid_detector(ckpt.restore_pytree(path))
 
 
+def build_viscoin_modules(n_classes: int, size: int):
+    """Module definitions + init for the `train viscoin` ensemble — the ONE
+    construction site, shared by :func:`_train_viscoin` and the ``prewarm``
+    command. prewarm's cache-warming guarantee rests on compiling the SAME
+    traced program as training, so any geometry drift between the two would
+    silently void it; a single builder removes that channel.
+
+    Returns ``(models, generator, lpips, init_gvars, init_lparams)`` — the
+    last two are thunks so training only pays the random inits when the
+    corresponding checkpoint is absent (weight VALUES don't affect the
+    compiled HLO; only the module definitions here do)."""
+    import jax.numpy as jnp
+
+    from viscoin_tpu.models.bundle import default_models, init_models
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+
+    models = default_models(n_classes=n_classes, img_resolution=size,
+                            channel_base=16384)
+    models = init_models(models, jax.random.PRNGKey(0), image_size=size)
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
+                          channel_base=16384, mapping_layers=2)
+    lpips = LPIPS()
+
+    def init_gvars():
+        return jax.jit(generator.init, static_argnames=("noise_mode",))(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)),
+            noise_mode="const")
+
+    def init_lparams():
+        return jax.jit(lpips.init)(
+            jax.random.PRNGKey(2), jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, size, size, 3)))["params"]
+
+    return models, generator, lpips, init_gvars, init_lparams
+
+
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
                    profile_dir=None, fid_detector_path=None, model_parallel=1,
                    compute_dtype="bfloat16", ds_kwargs=None):
-    from viscoin_tpu.models.bundle import default_models, init_models
-    from viscoin_tpu.models.lpips import LPIPS
-    from viscoin_tpu.models.stylegan import Generator, adapted_params_from_gan
+    from viscoin_tpu.models.stylegan import adapted_params_from_gan
     from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
     from viscoin_tpu.utils import checkpoints as ckpt
-
-    import jax.numpy as jnp
 
     mesh = _build_mesh(data_parallel, model_parallel)
 
@@ -581,17 +614,14 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     n_classes = train_loader.dataset.N_CLASSES
     size = train_loader.dataset.out_size
 
-    models = default_models(n_classes=n_classes, img_resolution=size,
-                            channel_base=16384)
-    models = init_models(models, jax.random.PRNGKey(0), image_size=size)
+    models, generator, lpips, init_gvars, init_lparams = \
+        build_viscoin_modules(n_classes, size)
 
     # Frozen pretrained pieces: classifier + original GAN (reference loads
     # torch pickles from its DEFAULT_CHECKPOINTS conventions; here orbax
     # checkpoints, with path datasets keyed by their basename).
     cls_path = default_checkpoints(dataset)["classifier"]
     gan_path = default_checkpoints(dataset)["gan"]
-    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
-                          channel_base=16384, mapping_layers=2)
     import os
 
     if os.path.exists(cls_path):
@@ -605,21 +635,15 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     else:
         click.echo(f"WARNING: GAN checkpoint {gan_path} not found — "
                    "using a RANDOM generator.")
-        gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
-            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)), noise_mode="const"
-        )
+        gvars = init_gvars()
 
-    lpips = LPIPS()
     lpips_path = "checkpoints/lpips-vgg"
     if os.path.exists(lpips_path):
         lparams = ckpt.restore_pytree(lpips_path)
     else:
         click.echo("WARNING: no LPIPS weights at checkpoints/lpips-vgg — "
                    "random-VGG perceptual loss (port with convert_torch_lpips).")
-        lparams = jax.jit(lpips.init)(
-            jax.random.PRNGKey(2), jnp.zeros((1, size, size, 3)),
-            jnp.zeros((1, size, size, 3)),
-        )["params"]
+        lparams = init_lparams()
 
     # FID in the every-2000-it eval (reference: testing/viscoin.py:84-90 with
     # the downloaded Inception detector; here a local ported checkpoint, the

@@ -307,11 +307,12 @@ def make_gan_loss_fns(generator, discriminator, cfg: GANTrainingParams,
     NVlabs' non-detached pl_mean cross term).
 
     Returns a dict with ``g_loss_fn``, ``d_loss_fn``, ``ppl_penalty``,
-    ``draw_cutoff``, ``map_ws``, ``synth`` (signatures as defined below)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: F401
+    ``draw_cutoff``, ``map_ws``, ``synth``, plus the shared config-derived
+    state (``dt``, ``cast``, ``spatial_sh``) so the step builder consumes
+    ONE derivation of it."""
+    from jax.sharding import NamedSharding
 
     from viscoin_tpu.parallel.mesh import image_spec
-
     from viscoin_tpu.train.viscoin import make_cast
 
     dt = jnp.dtype(cfg.compute_dtype)
@@ -434,7 +435,8 @@ def make_gan_loss_fns(generator, discriminator, cfg: GANTrainingParams,
 
     return {"g_loss_fn": g_loss_fn, "d_loss_fn": d_loss_fn,
             "ppl_penalty": ppl_penalty, "draw_cutoff": draw_cutoff,
-            "map_ws": map_ws, "synth": synth}
+            "map_ws": map_ws, "synth": synth,
+            "dt": dt, "cast": cast, "spatial_sh": spatial_sh}
 
 
 def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
@@ -455,18 +457,14 @@ def make_gan_train_step(generator, discriminator, cfg: GANTrainingParams,
     exchanges, like the VisCoIN train step."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from viscoin_tpu.parallel.mesh import image_spec
     from viscoin_tpu.train.augment import ada_update
-    from viscoin_tpu.train.viscoin import make_cast
 
     g_tx, d_tx = _optimizers(cfg)
     fns = make_gan_loss_fns(generator, discriminator, cfg, mesh=mesh)
     g_loss_fn, d_loss_fn = fns["g_loss_fn"], fns["d_loss_fn"]
     ppl_penalty, draw_cutoff = fns["ppl_penalty"], fns["draw_cutoff"]
-    dt = jnp.dtype(cfg.compute_dtype)
-    cast = make_cast(cfg.compute_dtype)
-    spatial_sh = (NamedSharding(mesh, image_spec(mesh))
-                  if mesh is not None and "model" in mesh.axis_names else None)
+    # one derivation of the config state, shared with the loss fns
+    dt, cast, spatial_sh = fns["dt"], fns["cast"], fns["spatial_sh"]
 
     def step(state: GANTrainState, g_extras, images_u8, rng):
         (k_flip, kz1, kz1m, kz2, kz2m, kzp, kn1, kn2, knp, kmix, kcut,

@@ -96,12 +96,22 @@ def _resolve_existing(path: str) -> str:
 
 def wait_for_saves():
     """Block until every pending async save has committed; re-raises the
-    first writer error. Call before process exit and before restoring a
-    path that may still be in flight (the train loops do both)."""
+    first writer error (after ALL pending saves have been joined — an early
+    raise would leave later installs still running on the writer thread,
+    racing any retry the caller attempts). Call before process exit and
+    before restoring a path that may still be in flight (the train loops
+    do both)."""
     global _pending
     pending, _pending = _pending, []
+    first_error = None
     for fut in pending:
-        fut.result()
+        try:
+            fut.result()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            if first_error is None:
+                first_error = e
+    if first_error is not None:
+        raise first_error
 
 
 def _path_str(entry) -> str:
