@@ -21,6 +21,11 @@ checkpoints:
   what ``make_train_step`` differentiates) to match for every trainable
   leaf: Psi, Theta, and the adapted mapping incl. ``fixed_w_avg``.
 
+* ``test_concept2clip_training_trajectory_matches_torch_twin`` — the MSE
+  regression trainer trajectory-twinned the same way (identical shuffle
+  stream, Adam, the reference's /batch_size loss accounting) — with it all
+  FOUR trainers are dynamics-twinned.
+
 * ``test_gan_step_gradients_match_torch_twin`` — the same treatment for the
   in-framework GAN trainer (``make_gan_loss_fns``): non-saturating G loss
   with style mixing, D loss with the lazy R1 second-order penalty, and the
@@ -682,3 +687,102 @@ def test_gan_step_gradients_match_torch_twin():
     penalty_det.backward()
     with pytest.raises(AssertionError):
         check_g(grads_p, grad_sd(gs), "ppl-detached/")
+
+
+# ---------------------------------------------------------------------------
+# (d) concept2clip: the fourth (and last) trainer, trajectory-twinned
+# ---------------------------------------------------------------------------
+
+
+def test_concept2clip_training_trajectory_matches_torch_twin(tmp_path):
+    """train_concept2clip (Adam MSE regression + best-by-test-loss,
+    reference: viscoin/training/concept2clip.py:96-141) vs a torch twin on
+    identical data and shuffle order: per-epoch train/test loss curves and
+    the returned best test loss agree. With this, all four trainers
+    (classifier, viscoin, gan, concept2clip) are dynamics-twinned."""
+    from viscoin_tpu.models.concept2clip import Concept2CLIP
+    from viscoin_tpu.train.concept2clip import (
+        Concept2ClipTrainingParams,
+        train_concept2clip,
+    )
+    from viscoin_tpu.utils.logging import configure_score_logging
+    from viscoin_tpu.utils.porting import convert_torch_concept2clip
+
+    NK, CD, SEED = 8, 12, 7
+    hidden = (NK * 9 + CD) // 2
+    torch.manual_seed(0)
+
+    class TorchC2C(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch.nn.Sequential(
+                torch.nn.Linear(NK * 9, hidden), torch.nn.ReLU(),
+                torch.nn.Linear(hidden, hidden), torch.nn.ReLU(),
+                torch.nn.Linear(hidden, CD),
+            )
+
+        def forward(self, x):
+            return self.model(x.reshape(x.shape[0], -1))
+
+    tm = TorchC2C()
+    init_params = convert_torch_concept2clip(
+        state_dict_to_numpy(tm.state_dict()))
+    model = Concept2CLIP(n_concepts=NK, clip_dim=CD)
+
+    rng_np = np.random.default_rng(0)
+    # (B, 3, 3, K) NHWC concept spaces; torch consumes the flattened
+    # concept-major order (the parity-tested flatten convention)
+    train_s = rng_np.standard_normal((32, 3, 3, NK)).astype(np.float32)
+    train_e = rng_np.standard_normal((32, CD)).astype(np.float32)
+    test_s = rng_np.standard_normal((16, 3, 3, NK)).astype(np.float32)
+    test_e = rng_np.standard_normal((16, CD)).astype(np.float32)
+
+    cfg = Concept2ClipTrainingParams(epochs=20, learning_rate=1e-3,
+                                     batch_size=8)
+    log_path = str(tmp_path / "c2c.jsonl")
+    configure_score_logging(log_path)
+    _, best_loss = train_concept2clip(model, init_params, train_s, train_e,
+                                      test_s, test_e, cfg, seed=SEED)
+    logging.shutdown()
+    recs = [json.loads(line) for line in open(log_path)]
+    ours_train = np.array([r["train_loss"] for r in recs])
+    ours_test = np.array([r["test_loss"] for r in recs])
+    assert len(recs) == cfg.epochs
+
+    # --- torch twin: identical shuffle stream + Adam + loss accounting ---
+    def to_t(x):  # NHWC (B,3,3,K) -> torch twin input (B,K,3,3)
+        return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+
+    opt = torch.optim.Adam(tm.parameters(), lr=cfg.learning_rate)
+    shuffle = np.random.default_rng(SEED)
+    theirs_train, theirs_test = [], []
+    best_t = float("inf")
+    n, bs = len(train_s), cfg.batch_size
+    for _ in range(cfg.epochs):
+        idx = shuffle.permutation(n)
+        total, nb = 0.0, 0
+        for s in range(0, n - bs + 1, bs):
+            sel = idx[s:s + bs]
+            out = tm(to_t(train_s[sel]))
+            loss = torch.mean((out - torch.from_numpy(train_e[sel])) ** 2)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            total += float(loss.detach()) / bs
+            nb += 1
+        theirs_train.append(total / nb)
+        with torch.no_grad():
+            # equal-size test batches -> batch-mean MSE == full-set MSE, so
+            # the eval loader's shuffle is irrelevant; the framework keeps
+            # the reference's per-batch /batch_size accounting for the test
+            # loss too (reference concept2clip.py:124 convention)
+            tl = float(torch.mean(
+                (tm(to_t(test_s)) - torch.from_numpy(test_e)) ** 2)) / bs
+        theirs_test.append(tl)
+        best_t = min(best_t, tl)
+
+    np.testing.assert_allclose(ours_train, np.array(theirs_train),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(ours_test, np.array(theirs_test),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(best_loss, best_t, rtol=1e-3)
