@@ -219,3 +219,19 @@ def test_train_viscoin_rejects_mismatched_shard_world(tiny, tmp_path):
     with pytest.raises(ValueError, match="shard world size"):
         train_viscoin(models, generator, gvars, lpips, lparams,
                       loader, loader, cfg, checkpoint_dir=str(tmp_path))
+
+
+def test_train_viscoin_cadences_disabled(tiny, tmp_path):
+    """eval_every=0 / checkpoint_every=0 DISABLE those cadences (like
+    faithfulness_every=0) instead of dying on a modulo-by-zero — the natural
+    bench/drive configuration (surfaced by a TPU drive with eval off)."""
+    models, generator, gvars, lpips, lparams = tiny
+    train_ds = SyntheticDataset(n=4, n_classes=NC, image_size=IMG, mode="train")
+    test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG, mode="test")
+    train_loader = DataLoader(train_ds, batch_size=2, num_threads=0)
+    test_loader = DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0)
+    cfg = VisCoINTrainingParams(iterations=2, batch_size=2, cd_fid_iteration=-1)
+    train_viscoin(models, generator, gvars, lpips, lparams,
+                  train_loader, test_loader, cfg, checkpoint_dir=str(tmp_path),
+                  eval_every=0, checkpoint_every=0, faithfulness_every=0)
+    assert not os.path.isdir(tmp_path / "train_state")  # nothing saved

@@ -648,7 +648,8 @@ def train_viscoin(
                 pass
             profile_dir = None
 
-        if i % eval_every == 0:
+        # 0 disables the cadence (like faithfulness_every)
+        if eval_every and i % eval_every == 0:
             sync_models()
             train_data = {
                 f"train_{k_}": float(metrics[k_])
@@ -676,7 +677,7 @@ def train_viscoin(
             if jax.process_index() == 0:  # one jsonl log, not one per host
                 logger.info(json.dumps(train_data))
 
-        if i % checkpoint_every == 0:
+        if checkpoint_every and i % checkpoint_every == 0:
             sync_models()
             if jax.process_index() == 0:
                 # Process-0-only writes: state/params are replicated, so every
