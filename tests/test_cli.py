@@ -367,3 +367,31 @@ def test_cli_train_concept2clip_image_size_plumbed(tmp_path, monkeypatch):
         "train", "concept2clip", "--dataset", str(root), "--image-size", "128"])
     assert result.exit_code == 0, result.output
     assert seen["ds_kwargs"] == {"out_size": 128}
+
+
+def test_cli_train_viscoin_cadence_flags(tmp_path, monkeypatch):
+    """--eval-every/--checkpoint-every/--faithfulness-every reach the loop:
+    0 disables (no eval records, no checkpoints), N=1 checkpoints."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    import os
+
+    from main import main
+
+    r = CliRunner().invoke(main, [
+        "train", "viscoin", "--dataset", "synthetic", "--epochs", "2",
+        "--batch-size", "2", "--no-data-parallel", "--eval-every", "0",
+        "--checkpoint-every", "0", "--faithfulness-every", "0"])
+    assert r.exit_code == 0, r.output
+    assert not os.path.isdir("train_state")
+    log = [line for line in open("viscoin_2.jsonl")] \
+        if os.path.exists("viscoin_2.jsonl") else []
+    assert log == []  # eval disabled -> no records
+
+    r = CliRunner().invoke(main, [
+        "train", "viscoin", "--dataset", "synthetic", "--epochs", "2",
+        "--batch-size", "2", "--no-data-parallel", "--eval-every", "0",
+        "--checkpoint-every", "1", "--faithfulness-every", "0"])
+    assert r.exit_code == 0, r.output
+    assert os.path.isdir("train_state")

@@ -121,12 +121,23 @@ from viscoin_tpu.utils.logging import configure_score_logging
                    "samples every N iterations, from FIXED latents so the "
                    "grids stay comparable across training (the upstream "
                    "trainer's per-tick fakes grid). 0 disables")
+@click.option("--eval-every", type=int, default=None,
+              help="[viscoin] Full test-set eval cadence in iterations "
+                   "(reference: 2000, viscoin.py:230); 0 disables")
+@click.option("--checkpoint-every", type=int, default=None,
+              help="[viscoin/gan] Checkpoint cadence in iterations "
+                   "(reference: 20000, viscoin.py:263; gan default 10000); "
+                   "0 disables [viscoin]")
+@click.option("--faithfulness-every", type=int, default=None,
+              help="[viscoin] 200-image amplification faithfulness probe "
+                   "cadence (reference: 25000, viscoin.py:273); 0 disables")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, model_parallel, optimizer, momentum, compute_dtype,
           debug_nans, resume_from, profile_dir, channel_base, channel_max,
           fid_detector_path, fid_every, fid_samples, init_from, ema_rampup,
-          mirror, image_size, snapshot_every):
+          mirror, image_size, snapshot_every, eval_every, checkpoint_every,
+          faithfulness_every):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -144,11 +155,16 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                                 batch_size, output_weights, data_parallel,
                                 ds_kwargs=ds_kwargs)
         case "viscoin":
+            cadences = {k: v for k, v in [("eval_every", eval_every),
+                                          ("checkpoint_every", checkpoint_every),
+                                          ("faithfulness_every", faithfulness_every)]
+                        if v is not None}
             _train_viscoin(dataset, learning_rate, epochs, batch_size,
                            gradient_accumulation_steps, data_parallel, resume_from,
                            profile_dir, fid_detector_path,
                            model_parallel=model_parallel,
-                           compute_dtype=compute_dtype, ds_kwargs=ds_kwargs)
+                           compute_dtype=compute_dtype, ds_kwargs=ds_kwargs,
+                           **cadences)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
@@ -158,6 +174,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                        fid_every=fid_every, fid_samples=fid_samples,
                        mirror=mirror, snapshot_every=snapshot_every,
                        init_from=init_from, ema_rampup=ema_rampup,
+                       **({"checkpoint_every": checkpoint_every}
+                          if checkpoint_every is not None else {}),
                        ds_kwargs=ds_kwargs)
         case _:
             raise ValueError(f"Unknown model name: {model_name}")
@@ -596,7 +614,8 @@ def build_viscoin_modules(n_classes: int, size: int):
 def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
                    profile_dir=None, fid_detector_path=None, model_parallel=1,
-                   compute_dtype="bfloat16", ds_kwargs=None):
+                   compute_dtype="bfloat16", ds_kwargs=None, eval_every=2000,
+                   checkpoint_every=20_000, faithfulness_every=25_000):
     from viscoin_tpu.models.stylegan import adapted_params_from_gan
     from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
     from viscoin_tpu.utils import checkpoints as ckpt
@@ -660,4 +679,6 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
     train_viscoin(models, generator, gvars, lpips, lparams,
                   train_loader, test_loader, params, mesh=mesh,
                   resume_from=resume_from, profile_dir=profile_dir,
-                  fid_detector=fid_detector)
+                  fid_detector=fid_detector, eval_every=eval_every,
+                  checkpoint_every=checkpoint_every,
+                  faithfulness_every=faithfulness_every)
