@@ -686,7 +686,7 @@ def train_viscoin(
                 ckpt.save_viscoin(models, os.path.join(
                     checkpoint_dir,
                     f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
-                ))
+                ), async_save=True)
                 # async: the host snapshot is taken here (the step donates
                 # the state), serialization + disk write ride the background
                 # writer — the loop continues into the next step.

@@ -217,7 +217,7 @@ def _module_config(models: VisCoINModels) -> dict:
     }
 
 
-def save_viscoin(models: VisCoINModels, path: str):
+def save_viscoin(models: VisCoINModels, path: str, async_save: bool = False):
     """Jointly save the ensemble (reference: save_viscoin, models/utils.py:177),
     plus the module config JSON (the role of the reference's pickle format)."""
     tree = {
@@ -226,7 +226,7 @@ def save_viscoin(models: VisCoINModels, path: str):
         "explainer": models.explainer_params,
         "gan": models.gan_vars,
     }
-    save_pytree(tree, path, extra_files={
+    save_pytree(tree, path, async_save=async_save, extra_files={
         _CONFIG_NAME: json.dumps(_module_config(models), indent=2)})
 
 
