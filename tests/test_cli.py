@@ -395,3 +395,19 @@ def test_cli_train_viscoin_cadence_flags(tmp_path, monkeypatch):
         "--checkpoint-every", "1", "--faithfulness-every", "0"])
     assert r.exit_code == 0, r.output
     assert os.path.isdir("train_state")
+
+
+def test_cli_prewarm_gan(tmp_path, monkeypatch):
+    """`prewarm gan`: AOT-compiles the GAN step under the exact train-gan
+    flags (shared build_gan_modules construction)."""
+    monkeypatch.setenv("VISCOIN_SYNTH_N", "8")
+    monkeypatch.setenv("VISCOIN_SYNTH_SIZE", "32")
+    monkeypatch.chdir(tmp_path)
+    from main import main
+
+    result = CliRunner().invoke(main, [
+        "prewarm", "gan", "--dataset", "synthetic", "--batch-size", "4",
+        "--epochs", "10", "--no-data-parallel",
+        "--channel-base", "256", "--channel-max", "16"])
+    assert result.exit_code == 0, result.output
+    assert "gan step:" in result.output and "done" in result.output

@@ -27,6 +27,8 @@ from viscoin_tpu.cli.utils import batch_size, dataset, device, learning_rate
 
 
 @click.command()
+@click.argument("model_name", default="viscoin", required=False,
+                type=click.Choice(["viscoin", "gan"]))
 @dataset
 @device
 @batch_size
@@ -43,12 +45,21 @@ from viscoin_tpu.cli.utils import batch_size, dataset, device, learning_rate
               default="bfloat16", show_default=True)
 @click.option("--image-size", type=int, default=None,
               help="Override the dataset's decode size (matches `train "
-                   "viscoin --image-size`)")
-def prewarm(dataset, device, batch_size, learning_rate, epochs,
+                   "--image-size`)")
+@click.option("--channel-base", type=int, default=16384, show_default=True,
+              help="[gan] StyleGAN2 channel base (match `train gan`)")
+@click.option("--channel-max", type=int, default=512, show_default=True,
+              help="[gan] StyleGAN2 channel cap (match `train gan`)")
+@click.option("--mirror/--no-mirror", default=True, show_default=True,
+              help="[gan] match `train gan --mirror`")
+@click.option("--ema-rampup", type=float, default=None,
+              help="[gan] match `train gan --ema-rampup`")
+def prewarm(model_name, dataset, device, batch_size, learning_rate, epochs,
             gradient_accumulation_steps, data_parallel, model_parallel,
-            compute_dtype, image_size):
-    """Pre-compile the `train viscoin` step + sampler into the compile
-    cache (pass the SAME flags you will train with)."""
+            compute_dtype, image_size, channel_base, channel_max, mirror,
+            ema_rampup):
+    """Pre-compile the `train viscoin` (or `train gan`) step into the
+    compile cache (pass the SAME flags you will train with)."""
     import time
 
     import numpy as np
@@ -71,12 +82,20 @@ def prewarm(dataset, device, batch_size, learning_rate, epochs,
         make_sample_fakes,
     )
 
-    # Same shape sources as _train_viscoin: the dataset decides
+    # Same shape sources as the trainers: the dataset decides
     # n_classes/out_size.
     ds_kwargs = _dataset_kwargs(dataset, image_size)
-    train_ds, _ = get_datasets(dataset, train_only=True, **ds_kwargs)
+    train_ds, _ = get_datasets(
+        dataset, *(("gan",) if model_name == "gan" else ()),
+        train_only=True, **ds_kwargs)
     n_classes, size = train_ds.N_CLASSES, train_ds.out_size
     mesh = _build_mesh(data_parallel, model_parallel)
+
+    if model_name == "gan":
+        _prewarm_gan(size, batch_size, learning_rate, epochs, compute_dtype,
+                     channel_base, channel_max, mirror, ema_rampup, mesh)
+        return
+
     # IgnoreNone: an omitted --batch-size falls through to the dataclass
     # default exactly like `train viscoin`; use cfg.batch_size from here on.
     cfg = VisCoINTrainingParams(
@@ -131,3 +150,48 @@ def prewarm(dataset, device, batch_size, learning_rate, epochs,
     click.echo("done — a `train viscoin` run with these flags starts warm "
                "(cache: see JAX_COMPILATION_CACHE_DIR, default "
                "~/.cache/jax_comp_cache)")
+
+
+def _prewarm_gan(size, batch_size, learning_rate, epochs, compute_dtype,
+                 channel_base, channel_max, mirror, ema_rampup, mesh):
+    """AOT-compile the `train gan` step under the exact training flags
+    (the GAN step is the other multi-minute cold compile: lazy R1/PPL
+    double-grad + the ADA pipe)."""
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from viscoin_tpu.cli.train import build_gan_modules
+    from viscoin_tpu.train.gan import (
+        GANTrainingParams,
+        create_gan_train_state,
+        make_gan_train_step,
+    )
+
+    cfg = GANTrainingParams(iterations=epochs, learning_rate=learning_rate,
+                            batch_size=batch_size, compute_dtype=compute_dtype,
+                            mirror=mirror, ema_rampup=ema_rampup)
+    click.echo(f"prewarm gan: {size}² images, batch {cfg.batch_size}, "
+               f"channel_base {channel_base}, {cfg.compute_dtype}, mesh="
+               f"{dict(mesh.shape) if mesh is not None else None}")
+    generator, discriminator = build_gan_modules(size, channel_base,
+                                                 channel_max, cfg.batch_size)
+    state, g_extras = create_gan_train_state(
+        generator, discriminator, jax.random.PRNGKey(0), cfg, size)
+    if mesh is not None:
+        from viscoin_tpu.parallel.mesh import replicate
+
+        state = replicate(mesh, state)
+        g_extras = replicate(mesh, g_extras)
+    step = make_gan_train_step(generator, discriminator, cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (cfg.batch_size, size, size, 3),
+                                      dtype=np.uint8))
+    t0 = time.time()
+    click.echo("compiling GAN step (minutes when cold)...")
+    step.lower(state, g_extras, images, jax.random.PRNGKey(0)).compile()
+    click.echo(f"  gan step: {time.time() - t0:.1f}s")
+    click.echo("done — a `train gan` run with these flags starts warm")

@@ -307,6 +307,25 @@ def _train_concept2clip(latent_type: Literal["viscoin", "gan"], dataset, epochs,
     ckpt.save_pytree(best, output_weights)
 
 
+def build_gan_modules(size: int, channel_base: int, channel_max: int,
+                      batch_size: int):
+    """G/D module definitions for `train gan` — the ONE construction site,
+    shared with `prewarm gan` (same byte-identical-cache-key argument as
+    :func:`build_viscoin_modules`). Reference "original pretrained" GAN
+    config (reference README.md:209-223): z=512, w=512, 2 mapping layers,
+    ADA 'auto' channels; mbstd group follows the batch."""
+    from viscoin_tpu.models.stylegan import Discriminator, Generator
+
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
+                          channel_base=channel_base, channel_max=channel_max,
+                          mapping_layers=2)
+    discriminator = Discriminator(img_resolution=size,
+                                  channel_base=channel_base,
+                                  channel_max=channel_max,
+                                  mbstd_group_size=min(4, batch_size))
+    return generator, discriminator
+
+
 def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                data_parallel, output_weights, channel_base=16384,
                channel_max=512, resume_from=None, checkpoint_every=10_000,
@@ -331,7 +350,6 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
 
     from viscoin_tpu.data.loader import DataLoader, loop_iter
     from viscoin_tpu.data.utils import get_datasets
-    from viscoin_tpu.models.stylegan import Discriminator, Generator
     from viscoin_tpu.parallel.mesh import global_shard_batch, replicate
     from viscoin_tpu.train.gan import (
         GANTrainingParams,
@@ -377,14 +395,8 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         raise ValueError(f"dataset has {len(train_loader.dataset)} samples < "
                          f"batch_size={cfg.batch_size}: no full batch can "
                          "ever be formed")
-    # Reference "original pretrained" GAN config (README.md:209-223):
-    # z=512, w=512, 2 mapping layers, ADA 'auto' channels, w_avg_beta 0.995.
-    generator = Generator(z_dim=512, w_dim=512, img_resolution=size,
-                          channel_base=channel_base, channel_max=channel_max,
-                          mapping_layers=2)
-    discriminator = Discriminator(img_resolution=size, channel_base=channel_base,
-                                  channel_max=channel_max,
-                                  mbstd_group_size=min(4, cfg.batch_size))
+    generator, discriminator = build_gan_modules(size, channel_base,
+                                                 channel_max, cfg.batch_size)
     configure_score_logging(f"gan_{cfg.iterations}.jsonl")
     logger = get_logger()
 
