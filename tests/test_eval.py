@@ -119,6 +119,33 @@ def test_amplify_concepts(models, rng):
                                res.amplified_images[1], rtol=1e-4, atol=1e-5)
 
 
+def test_faithfulness_probe_matches_amplify(models, rng):
+    """The batched faithfulness probe == the reference-shaped per-image
+    amplify_concepts loop it replaces (train_viscoin's 25k-cadence probe):
+    best_concept_probas_best[1] is the ×1 (identity-scale) reconstruction
+    probability, independent of the concept selection, so the 200-dispatch
+    loop collapses into fixed-shape batched programs. batch_size=2 over 5
+    images also exercises the final-chunk padding."""
+    from viscoin_tpu.data.transforms import device_preprocess
+    from viscoin_tpu.eval.viscoin import faithfulness_probe
+
+    images_u8 = rng.integers(0, 256, (5, IMG, IMG, 3), dtype=np.uint8)
+
+    fns = make_amplify_fns(models)
+    want = []
+    for img in images_u8:  # the old probe loop, verbatim semantics
+        x = device_preprocess(jnp.asarray(img[None]))[0]
+        res = amplify_concepts(
+            x, models, {"method": "threshold", "threshold": 0.2},
+            [0.0, 1.0, 2.0, 4.0], rng=rng, fns=fns,
+        )
+        want.append(res.best_concept_probas_best[1])
+
+    got = faithfulness_probe(models, images_u8, batch_size=2)
+    assert got.shape == (5,)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
 def test_test_concepts(models, loader):
     results = eval_concepts(models, loader, n_classes=NC)
     K = NK

@@ -17,7 +17,9 @@ _EXPORTS = {
     "Selection": "viscoin_tpu.eval.viscoin",
     "amplify_concepts": "viscoin_tpu.eval.viscoin",
     "amplify_specific_concepts": "viscoin_tpu.eval.viscoin",
+    "faithfulness_probe": "viscoin_tpu.eval.viscoin",
     "make_amplify_fns": "viscoin_tpu.eval.viscoin",
+    "make_faithfulness_fn": "viscoin_tpu.eval.viscoin",
     "test_viscoin": "viscoin_tpu.eval.viscoin",
 }
 

@@ -400,6 +400,79 @@ def amplify_concepts(
     return results
 
 
+def make_faithfulness_fn(models: VisCoINModels):
+    """ONE jitted fixed-shape program for the training-loop faithfulness probe
+    (reference: training/viscoin.py:273-295).
+
+    The reference probe loops ``amplify_concepts`` over 200 single images —
+    200 program dispatches per probe (minutes through a relay-attached
+    device; ~200× the necessary launches anywhere). But the statistic it
+    records is ``best_concept_probas_best[1]``: the explainer probability of
+    the original image's argmax class measured on the ×1-amplified image —
+    and at multiplier ×1 every concept scale is 1, so the "amplified" image
+    is exactly the reconstruction G(Phi, Phi′). The concept-selection step
+    (threshold/top-k) only affects the ×0/×2/×4 variants the probe discards,
+    so the whole probe reduces to ONE batched pass:
+
+        x → f → Psi → Theta  (concept_pred = argmax of the explainer logits)
+        rebuilt = G(Phi, Phi′, const noise)
+        rebuilt → f → Psi → Theta → softmax → probas[b, concept_pred_b]
+
+    Returns ``probe(variables, images_u8 (B,H,W,3) uint8) -> (B,) float``.
+    Semantics are identical to the per-image ``amplify_concepts`` path
+    (tested: tests/test_eval.py::test_faithfulness_probe_matches_amplify)."""
+
+    @jax.jit
+    def probe(variables, images_u8):
+        x = device_preprocess(images_u8)
+        _, hidden = models.classifier.apply(variables["classifier"], x, train=False)
+        phi, phi_prime = models.concept_extractor.apply(
+            {"params": variables["psi"]}, tuple(hidden[-3:])
+        )
+        expl_logits = models.explainer.apply({"params": variables["theta"]}, phi)
+        # Reference quirk kept: the "best concept" index is an argmax over
+        # CLASSES of the explainer logits (testing/viscoin.py:241-244).
+        concept_pred = jnp.argmax(expl_logits, axis=1)
+
+        rebuilt = models.gan.apply(variables["gan"], phi, phi_prime,
+                                   noise_mode="const")
+        _, hidden2 = models.classifier.apply(variables["classifier"], rebuilt,
+                                             train=False)
+        new_phi, _ = models.concept_extractor.apply(
+            {"params": variables["psi"]}, tuple(hidden2[-3:])
+        )
+        logits2 = models.explainer.apply({"params": variables["theta"]}, new_phi)
+        probas = jax.nn.softmax(logits2, axis=1)
+        return jnp.take_along_axis(probas, concept_pred[:, None], axis=1)[:, 0]
+
+    return probe
+
+
+def faithfulness_probe(
+    models: VisCoINModels,
+    images_u8: np.ndarray,
+    batch_size: int = 32,
+    fn=None,
+) -> np.ndarray:
+    """Batched faithfulness statistics for N images: chunks into fixed-shape
+    ``batch_size`` device calls (final chunk padded by repetition so every
+    call hits the same compiled program). 200 images → 7 dispatches instead
+    of the reference's 200. ``fn`` (from :func:`make_faithfulness_fn`) can be
+    passed to reuse the compiled program across probe cadences."""
+    probe = fn if fn is not None else make_faithfulness_fn(models)
+    variables = _bundle_variables(models)
+    n = images_u8.shape[0]
+    out = []
+    for lo in range(0, n, batch_size):
+        chunk = images_u8[lo:lo + batch_size]
+        valid = chunk.shape[0]
+        if valid < batch_size:  # pad to the fixed shape, slice after
+            pad = np.repeat(chunk[:1], batch_size - valid, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        out.append(np.asarray(probe(variables, jnp.asarray(chunk)))[:valid])
+    return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+
 def amplify_specific_concepts(
     image,
     models: VisCoINModels,
