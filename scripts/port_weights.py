@@ -9,6 +9,14 @@ Usage (requires torch, CPU is enough):
     python scripts/port_weights.py clip         ViT-B-32.pt  checkpoints/clip/vit-b-32
     python scripts/port_weights.py inception    inception_v3.pth checkpoints/inception
 
+Every port validates the source against the checked-in architecture manifest
+(viscoin_tpu/manifests/*.json — exact key/shape inventories of the five
+reference torch networks) and prints any missing / unexpected / mis-shaped
+keys. `--strict` turns a dirty report into an abort; `--check` validates
+WITHOUT writing anything (exit 0 clean / 1 problems):
+
+    python scripts/port_weights.py clip ViT-B-32.pt --check
+
 `stylegan` accepts either a plain state_dict or an NVlabs stylegan2-ada
 pickle: the pickle is parsed with a shimmed `torch_utils.persistence` module
 (the NVlabs format embeds its source; we only extract the raw tensors), so
@@ -177,20 +185,83 @@ def _to_torch(sd: dict):
     return {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
 
 
+def _clip_manifest_kind(sd) -> str:
+    return ("clip_hf" if any(k.startswith("vision_model") for k in sd)
+            else "clip_openai")
+
+
+def check_source(kind: str, sd: dict, strict: bool) -> list[str]:
+    """Validate a source state_dict against its manifest; print the report.
+    Returns the problem list (empty = clean). With ``strict`` a dirty
+    state_dict aborts the port."""
+    from viscoin_tpu.utils import porting
+
+    manifest_kind = {"classifier": "classifier", "lpips": "lpips",
+                     "inception": "inception",
+                     "stylegan": "stylegan_generator"}.get(kind)
+    if kind == "clip":
+        manifest_kind = _clip_manifest_kind(sd)
+    if manifest_kind is None:
+        print(f"# no manifest for kind {kind!r} — skipping validation")
+        return []
+    problems = porting.validate_state_dict(sd, manifest_kind, strict=False)
+    if not problems:
+        print(f"manifest check [{manifest_kind}]: OK "
+              f"({len(sd)} keys, all accounted for)")
+    else:
+        for p in problems[:40]:
+            print(f"manifest check [{manifest_kind}]: {p}")
+        if len(problems) > 40:
+            print(f"manifest check [{manifest_kind}]: ... and "
+                  f"{len(problems) - 40} more")
+        if strict:
+            raise SystemExit(
+                f"{len(problems)} manifest problems (strict mode) — the "
+                "checkpoint does not match the reference architecture; "
+                "re-run without --strict to port anyway")
+    return problems
+
+
 def main():
     from viscoin_tpu.utils import porting
     from viscoin_tpu.utils.checkpoints import save_pytree
 
-    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    argv = [a for a in sys.argv[1:] if a not in ("--check", "--strict")]
+    check_only = "--check" in sys.argv
+    strict = "--strict" in sys.argv
+    kind, src = argv[0], argv[1]
+    dst = argv[2] if len(argv) > 2 else None
+    if dst is None and not check_only:
+        raise SystemExit("usage: port_weights.py KIND SRC DST "
+                         "[--check|--strict]")
     # export-* sources are orbax checkpoints, stylegan parses its own pickle
     obj = (load_torch_file(src)
            if kind != "stylegan" and not kind.startswith("export-") else None)
 
+    if check_only:
+        # Validate-only path: report missing/unexpected/mis-shaped keys
+        # against the checked-in architecture manifests, write nothing.
+        if kind == "stylegan":
+            nets = load_nvlabs_pickle(src)
+            sd = (nets.get("G_ema") or nets.get("G") or nets.get("generator")
+                  or nets.get("gan") or {})
+        elif kind == "viscoin":
+            sd = obj["classifier"]  # the joint dict's manifest-covered part
+            kind = "classifier"
+        else:
+            sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        problems = check_source(kind, porting.state_dict_to_numpy(sd),
+                                strict=False)
+        raise SystemExit(1 if problems else 0)
+
     if kind == "classifier":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        check_source(kind, porting.state_dict_to_numpy(sd), strict)
         out = porting.convert_torch_classifier(porting.state_dict_to_numpy(sd))
     elif kind == "viscoin":
         sd = obj  # {"classifier":..., "concept_extractor":..., ...} of state_dicts
+        check_source("classifier",
+                     porting.state_dict_to_numpy(sd["classifier"]), strict)
         out = {
             "classifier": porting.convert_torch_classifier(
                 porting.state_dict_to_numpy(sd["classifier"])),
@@ -208,6 +279,7 @@ def main():
         if not sd:
             raise SystemExit(f"no generator tensors found in {src} — is this a "
                              "stylegan2-ada network pickle with a G/G_ema entry?")
+        check_source(kind, porting.state_dict_to_numpy(sd), strict)
         out = porting.convert_torch_generator(porting.state_dict_to_numpy(sd))
         # Discriminator (when the pickle ships one): written NEXT to the
         # generator as <dst>.discriminator — `train gan --init-from <dst>`
@@ -222,15 +294,18 @@ def main():
                   f"{dst}.discriminator")
     elif kind == "lpips":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        check_source(kind, porting.state_dict_to_numpy(sd), strict)
         out = porting.convert_torch_lpips(porting.state_dict_to_numpy(sd))
     elif kind == "clip":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
         keys = list(sd)
+        check_source(kind, porting.state_dict_to_numpy(sd), strict)
         conv = (porting.convert_hf_clip if any(k.startswith("vision_model") for k in keys)
                 else porting.convert_torch_clip)
         out = conv(porting.state_dict_to_numpy(sd))
     elif kind == "inception":
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        check_source(kind, porting.state_dict_to_numpy(sd), strict)
         out = porting.convert_torch_inception(porting.state_dict_to_numpy(sd))
     elif kind == "inception-nvlabs":
         out = port_inception_nvlabs(src, dst)

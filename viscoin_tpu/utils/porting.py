@@ -19,7 +19,84 @@ tensors first, or use :func:`state_dict_to_numpy`).
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
+
+# ------------------------------ manifests ---------------------------------- #
+# Exact state_dict key/shape manifests for the torch networks the reference
+# ecosystem ships (generated offline by scripts/make_manifests.py from
+# random-weight torch twins — zero egress). Converters have only ever seen
+# synthetically constructed state_dicts in this environment; validating real
+# checkpoints against these manifests turns a silent KeyError / mis-shaped
+# port into a clear report of missing / unexpected / mis-shaped keys.
+
+_MANIFEST_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "manifests")
+
+MANIFEST_KINDS = ("classifier", "lpips", "clip_openai", "clip_hf",
+                  "inception", "stylegan_generator")
+
+
+def load_manifest(kind: str) -> dict:
+    """Load a checked-in manifest: {"required": {key: shape}, "optional":
+    {key: shape}, "optional_prefixes": [...], "one_of": [[k, ...], ...]}.
+    Shape dims of -1 are wildcards (e.g. the class-count head dim)."""
+    if kind not in MANIFEST_KINDS:
+        raise ValueError(f"no manifest for kind {kind!r}; have {MANIFEST_KINDS}")
+    with open(os.path.join(_MANIFEST_DIR, f"{kind}.json")) as f:
+        return json.load(f)
+
+
+def _shape_ok(got: tuple, want: list) -> bool:
+    return len(got) == len(want) and all(
+        w == -1 or g == w for g, w in zip(got, want))
+
+
+def validate_state_dict(sd: dict, kind: str, strict: bool = True) -> list[str]:
+    """Validate a torch state_dict (tensor- or numpy-valued) against the
+    ``kind`` manifest. Returns a list of problem strings (empty = clean);
+    with ``strict`` a non-empty list raises ``ValueError`` with the full
+    report. Checks: missing required keys, unexpected keys, shape mismatches
+    on every present key (wildcard dims of -1 allowed, e.g. class counts)."""
+    man = load_manifest(kind)
+    required, optional = man.get("required", {}), man.get("optional", {})
+    prefixes = tuple(man.get("optional_prefixes", []))
+    one_of = man.get("one_of", [])
+    shapes = {k: tuple(np.asarray(v).shape if not hasattr(v, "shape") else v.shape)
+              for k, v in sd.items()}
+
+    problems = []
+    for k, want in required.items():
+        if k not in shapes:
+            problems.append(f"missing required key: {k} (shape {want})")
+    for group in one_of:
+        if not any(k in shapes for k in group):
+            problems.append(f"missing key: one of {group} is required")
+    known = set(required) | set(optional) | {k for g in one_of for k in g}
+    for k in shapes:
+        if (k not in known and not k.startswith(prefixes)
+                and not k.endswith("num_batches_tracked")):
+            problems.append(f"unexpected key: {k} (shape {list(shapes[k])})")
+    for k, got in shapes.items():
+        want = required.get(k, optional.get(k))
+        if want is None:
+            for g in one_of:
+                if k in g:
+                    want = required.get(g[0]) or optional.get(g[0])
+        if want is not None and not _shape_ok(got, want):
+            problems.append(f"shape mismatch: {k} has {list(got)}, manifest "
+                            f"expects {want}")
+    if problems and strict:
+        shown = "\n  ".join(problems[:40])
+        more = f"\n  ... and {len(problems) - 40} more" if len(problems) > 40 else ""
+        raise ValueError(
+            f"state_dict does not match the {kind!r} manifest "
+            f"({len(problems)} problems):\n  {shown}{more}\n"
+            f"(manifest: {os.path.join(_MANIFEST_DIR, kind + '.json')}; "
+            "pass strict=False / drop --strict to port anyway)")
+    return problems
 
 
 def state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
@@ -51,11 +128,16 @@ def _convbn(sd: dict, conv_key: str, bn_key: str) -> tuple[dict, dict]:
 def convert_torch_classifier(
     sd: dict[str, np.ndarray],
     depths=None,
+    strict: bool = False,
 ) -> dict:
     """Convert the reference Classifier state_dict (HF ResNetModel under
     ``resnet.`` + head under ``linear.``, viscoin/models/classifiers.py) into
     variables for :class:`viscoin_tpu.models.resnet.Classifier`.
-    ``depths`` is inferred from the keys when not given."""
+    ``depths`` is inferred from the keys when not given. ``strict`` validates
+    against the resnet-50 manifest first (clear missing/unexpected/mis-shaped
+    report instead of a KeyError mid-conversion)."""
+    if strict:
+        validate_state_dict(sd, "classifier")
     if depths is None:
         import re
 
@@ -160,13 +242,15 @@ def convert_torch_concept2clip(sd: dict[str, np.ndarray]) -> dict:
 # --------------------------------- LPIPS ----------------------------------- #
 
 
-def convert_torch_lpips(sd: dict[str, np.ndarray]) -> dict:
+def convert_torch_lpips(sd: dict[str, np.ndarray], strict: bool = False) -> dict:
     """Convert a pip-`lpips` LPIPS(net='vgg') state_dict into params for
     :class:`viscoin_tpu.models.lpips.LPIPS`.
 
     Torch keys: ``net.slice{s}.{layer_idx}.weight/bias`` (torchvision VGG16
     feature indices) and ``lin{i}.model.1.weight`` (1x1 conv heads, shape
     (1, C, 1, 1))."""
+    if strict:
+        validate_state_dict(sd, "lpips")
     # torchvision vgg16.features conv indices grouped by LPIPS slice
     slice_layers = {
         1: [0, 2],
@@ -197,7 +281,8 @@ def convert_torch_lpips(sd: dict[str, np.ndarray]) -> dict:
 # -------------------------------- Inception --------------------------------- #
 
 
-def convert_torch_inception(sd: dict[str, np.ndarray]) -> dict:
+def convert_torch_inception(sd: dict[str, np.ndarray],
+                            strict: bool = False) -> dict:
     """Convert a torchvision ``inception_v3`` (or pytorch-fid FIDInceptionV3)
     state_dict into variables for
     :class:`viscoin_tpu.models.inception.InceptionV3Features`.
@@ -205,6 +290,8 @@ def convert_torch_inception(sd: dict[str, np.ndarray]) -> dict:
     Torch module paths (e.g. ``Mixed_5b.branch1x1.conv.weight``) map 1:1 onto
     our module names; BN stats go to batch_stats. The fc / AuxLogits heads are
     ignored (features only)."""
+    if strict:
+        validate_state_dict(sd, "inception")
     params: dict = {}
     stats: dict = {}
     prefixes = sorted({k.rsplit(".conv.weight", 1)[0] for k in sd
@@ -346,9 +433,11 @@ def _clip_block_openai(sd: dict, p: str) -> dict:
 
 
 def convert_torch_clip(sd: dict[str, np.ndarray], vision_layers: int = 12,
-                       text_layers: int = 12) -> dict:
+                       text_layers: int = 12, strict: bool = False) -> dict:
     """Convert an OpenAI pip-`clip` ViT-B/32 state_dict into params for
     :class:`viscoin_tpu.models.clip.CLIP`."""
+    if strict:
+        validate_state_dict(sd, "clip_openai")
     visual: dict = {
         "patch_embed": {"kernel": _conv(sd["visual.conv1.weight"])},
         "class_embedding": sd["visual.class_embedding"],
@@ -373,13 +462,15 @@ def convert_torch_clip(sd: dict[str, np.ndarray], vision_layers: int = 12,
 
 
 def convert_hf_clip(sd: dict[str, np.ndarray], vision_layers: int = 12,
-                    text_layers: int = 12) -> dict:
+                    text_layers: int = 12, strict: bool = False) -> dict:
     """Convert a HuggingFace `transformers.CLIPModel` state_dict (ViT-B/32
     config) into params for :class:`viscoin_tpu.models.clip.CLIP`.
 
     HF splits q/k/v projections; our module uses the fused in_proj, so they
     are concatenated. HF's visual_projection/text_projection Linear weights
     (out, in) become our (in, out) matrices."""
+    if strict:
+        validate_state_dict(sd, "clip_hf")
 
     def block(p: str) -> dict:
         qw = sd[f"{p}.self_attn.q_proj.weight"]
@@ -506,11 +597,16 @@ def convert_torch_synthesis(sd: dict[str, np.ndarray], prefix: str = "synthesis"
 
 def convert_torch_generator(sd: dict[str, np.ndarray],
                             img_resolution: int | None = None,
-                            mapping_layers: int | None = None) -> dict:
+                            mapping_layers: int | None = None,
+                            strict: bool = False) -> dict:
     """Convert a full torch StyleGAN2 Generator state_dict into variables for
     :class:`viscoin_tpu.models.stylegan.Generator`. Resolution and mapping
     depth default to inference from the keys, so any-config pickles port
-    without the caller hardcoding the 256² reference shape."""
+    without the caller hardcoding the 256² reference shape. ``strict``
+    validates against the manifest of the reference pretrained-CUB config
+    (256², z=512, 'auto' channels) — other configs port fine non-strict."""
+    if strict:
+        validate_state_dict(sd, "stylegan_generator")
     if mapping_layers is None:
         mapping_layers = sum(1 for k in sd
                              if k.startswith("mapping.fc") and
