@@ -220,6 +220,93 @@ def run_multichip(batch_per_chip: int, iters: int = 10) -> dict:
     }
 
 
+def run_sustained(batch: int = 64, iters: int = 2000, prefetch: int = 1,
+                  eval_every: int = 500, checkpoint_every: int = 1000,
+                  faithfulness_every: int = 1000) -> dict:
+    """Sustained PRODUCTION throughput (VERDICT r4 item 5): a real flagship
+    ``train_viscoin`` run with every cadence live — in-loop eval (FID-less),
+    async checkpointing, the batched faithfulness probe, the K-step sampler,
+    host data loading (+ optional prefetch overlap) — reporting the img/s a
+    user actually experiences plus the per-cadence overhead split.
+
+    Cadences are scaled to fire MORE often than production (eval 500 vs
+    2000, ckpt 1000 vs 20k, probe 1000 vs 25k over ~2000 it), so the
+    reported overhead over-states the production cost — the production
+    number is steps-only rate minus (cadence cost × production frequency),
+    all derivable from the split."""
+    import tempfile
+
+    from viscoin_tpu.data.datasets import SyntheticDataset
+    from viscoin_tpu.data.loader import DataLoader
+    from viscoin_tpu.models.bundle import default_models, init_models
+    from viscoin_tpu.models.lpips import LPIPS
+    from viscoin_tpu.models.stylegan import Generator
+    from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
+
+    models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
+                            channel_base=16384)
+    models = init_models(models, jax.random.PRNGKey(0), image_size=256)
+    generator = Generator(z_dim=512, w_dim=512, img_resolution=256,
+                          channel_base=16384, mapping_layers=2)
+    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)),
+        noise_mode="const")
+    lpips = LPIPS()
+    lparams = jax.jit(lpips.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)),
+        jnp.zeros((1, 256, 256, 3)))["params"]
+
+    train_ds = SyntheticDataset(n=512, n_classes=200, image_size=256,
+                                mode="train")
+    test_ds = SyntheticDataset(n=256, n_classes=200, image_size=256,
+                               mode="test")
+    train_loader = DataLoader(train_ds, batch_size=batch, seed=0)
+    test_loader = DataLoader(test_ds, batch_size=batch, shuffle=False)
+
+    # The PRODUCTION config — full 100k-iteration schedule (the LR decay is
+    # baked into the compiled step, so this also shares the prewarm/bench
+    # compile-cache lineage), defaults for the loss gate; `stop_after`
+    # bounds how long we run it, not what program compiles.
+    cfg = VisCoINTrainingParams(iterations=100_000, batch_size=batch,
+                                compute_dtype="bfloat16")
+    timings: dict = {}
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as ckpt_dir:
+        train_viscoin(models, generator, gvars, lpips, lparams,
+                      train_loader, test_loader, cfg,
+                      checkpoint_dir=ckpt_dir, eval_every=eval_every,
+                      checkpoint_every=checkpoint_every,
+                      faithfulness_every=faithfulness_every,
+                      prefetch=prefetch, timings=timings, stop_after=iters)
+        wall = time.time() - t0
+
+    out = {
+        "iters": iters,
+        "batch": batch,
+        "prefetch": prefetch,
+        "wall_s": round(wall, 1),
+        "sustained_images_per_sec": round(iters * batch / wall, 2),
+        # steady state = excluding each phase's first (compile-laden) hit
+        "timings_s": {k: round(v, 2) if isinstance(v, float) else v
+                      for k, v in sorted(timings.items())},
+    }
+    # Steady state: exclude each phase's FIRST (compile/cold) hit from the
+    # wall. (The per-step host timings alone cannot give device throughput —
+    # step dispatch is async, so device time is paid at the next blocking
+    # point; wall-based accounting is the honest denominator.)
+    cold = sum(timings.get(f"max_{p}", 0.0)
+               for p in ("steps", "eval", "checkpoint", "probe"))
+    if wall > cold and iters > 1:
+        out["steady_images_per_sec"] = round(iters * batch / (wall - cold), 2)
+        out["first_hit_cold_s"] = round(cold, 1)
+    for phase in ("eval", "checkpoint", "probe"):
+        tot, cnt = timings.get(phase, 0.0), timings.get(f"n_{phase}", 0)
+        if cnt > 1:  # warm cost = excluding the compile-laden first hit
+            out[f"{phase}_warm_s"] = round(
+                (tot - timings.get(f"max_{phase}", 0.0)) / (cnt - 1), 2)
+    return out
+
+
 def fallback_ladder(batch: int) -> list[int]:
     """Deduplicated, strictly-decreasing OOM-fallback batches: never re-try
     a batch that already failed, never try a LARGER batch after a smaller
@@ -231,6 +318,20 @@ def fallback_ladder(batch: int) -> list[int]:
 
 def main():
     args = sys.argv[1:]
+    if "--sustained" in args:
+        args.remove("--sustained")
+        iters = int(args[0]) if args else 2000
+        prefetch = 0 if "--no-prefetch" in args else 1
+        result = run_sustained(iters=iters, prefetch=prefetch)
+        print(json.dumps({
+            "metric": "viscoin_sustained_images_per_sec",
+            "value": result["sustained_images_per_sec"],
+            "unit": "img/s",
+            "vs_baseline": round(
+                result["sustained_images_per_sec"] / BASELINE_IMG_PER_SEC, 3),
+            "detail": result,
+        }))
+        return
     fold_lpips = False
     if "--fold-lpips" in args:
         fold_lpips = True

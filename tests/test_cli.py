@@ -66,6 +66,9 @@ def test_cli_prewarm_synthetic(tmp_path, monkeypatch):
         "--epochs", "10", "--no-data-parallel"])
     assert result.exit_code == 0, result.output
     assert "train step:" in result.output and "done" in result.output
+    # round 5: the in-loop cadence programs (eval step at its i=0 firing,
+    # the batched faithfulness probe) are warmed too
+    assert "eval step:" in result.output and "probe:" in result.output
 
 
 def test_cli_logs_roundtrip(tmp_path):

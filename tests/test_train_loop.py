@@ -221,6 +221,89 @@ def test_train_viscoin_rejects_mismatched_shard_world(tiny, tmp_path):
                       loader, loader, cfg, checkpoint_dir=str(tmp_path))
 
 
+def test_train_viscoin_prefetch_deterministic(tiny, tmp_path):
+    """prefetch>0 (background loader + device_put overlap, VERDICT r4 item 7)
+    must be a pure latency optimization: identical final params to the
+    synchronous path (one producer, FIFO order), and the timings dict gets
+    the per-phase split the sustained bench reports."""
+    models, generator, gvars, lpips, lparams = tiny
+    snapshot = jax.tree_util.tree_map(np.copy, (models.classifier_vars,
+                                                models.concept_params,
+                                                models.explainer_params,
+                                                models.gan_vars))
+
+    def run(prefetch, timings=None):
+        (models.classifier_vars, models.concept_params,
+         models.explainer_params, models.gan_vars) = jax.tree_util.tree_map(
+            np.copy, snapshot)
+        train_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG,
+                                    mode="train")
+        test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG,
+                                   mode="test")
+        tl = DataLoader(train_ds, batch_size=2, num_threads=0, seed=7)
+        el = DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0)
+        cfg = VisCoINTrainingParams(iterations=5, batch_size=2,
+                                    cd_fid_iteration=-1)
+        out = train_viscoin(models, generator, gvars, lpips, lparams, tl, el,
+                            cfg, checkpoint_dir=str(tmp_path), eval_every=0,
+                            checkpoint_every=0, faithfulness_every=0,
+                            prefetch=prefetch, timings=timings)
+        return jax.tree_util.tree_map(np.asarray, (out.concept_params,
+                                                   out.explainer_params))
+
+    timings = {}
+    sync = run(0)
+    pre = run(2, timings=timings)
+    for a, b in zip(jax.tree_util.tree_leaves(sync),
+                    jax.tree_util.tree_leaves(pre)):
+        np.testing.assert_array_equal(a, b)
+    assert timings["n_steps"] == 5 and timings["steps"] > 0
+
+
+def test_train_viscoin_stop_after(tiny, tmp_path):
+    """stop_after bounds THIS CALL's steps while keeping the configured
+    horizon (the LR schedule — and compiled program — depend on
+    cfg.iterations; the sustained bench runs the production program briefly).
+    A resume from the stopped state continues to the same final params as an
+    unbroken run."""
+    models, generator, gvars, lpips, lparams = tiny
+    snapshot = jax.tree_util.tree_map(np.copy, (models.classifier_vars,
+                                                models.concept_params,
+                                                models.explainer_params,
+                                                models.gan_vars))
+
+    def run(ckpt_dir, stop_after=None, resume_from=None, timings=None):
+        if resume_from is None:
+            (models.classifier_vars, models.concept_params,
+             models.explainer_params, models.gan_vars) = jax.tree_util.tree_map(
+                np.copy, snapshot)
+        train_ds = SyntheticDataset(n=8, n_classes=NC, image_size=IMG,
+                                    mode="train")
+        test_ds = SyntheticDataset(n=2, n_classes=NC, image_size=IMG,
+                                   mode="test")
+        tl = DataLoader(train_ds, batch_size=2, num_threads=0, seed=7)
+        el = DataLoader(test_ds, batch_size=2, shuffle=False, num_threads=0)
+        cfg = VisCoINTrainingParams(iterations=6, batch_size=2,
+                                    cd_fid_iteration=-1)
+        out = train_viscoin(models, generator, gvars, lpips, lparams, tl, el,
+                            cfg, checkpoint_dir=str(ckpt_dir), eval_every=0,
+                            checkpoint_every=5, faithfulness_every=0,
+                            stop_after=stop_after, resume_from=resume_from,
+                            timings=timings)
+        return jax.tree_util.tree_map(np.asarray, (out.concept_params,
+                                                   out.explainer_params))
+
+    unbroken = run(tmp_path / "a")
+    timings = {}
+    run(tmp_path / "b", stop_after=5, timings=timings)  # state saved at i=5
+    assert timings["n_steps"] == 5
+    resumed = run(tmp_path / "b",
+                  resume_from=str(tmp_path / "b" / "train_state"))
+    for a, b in zip(jax.tree_util.tree_leaves(unbroken),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_train_viscoin_cadences_disabled(tiny, tmp_path):
     """eval_every=0 / checkpoint_every=0 DISABLE those cadences (like
     faithfulness_every=0) instead of dying on a modulo-by-zero — the natural

@@ -146,7 +146,32 @@ def prewarm(model_name, dataset, device, batch_size, learning_rate, epochs,
     step.lower(state, frozen, images, labels, jax.random.PRNGKey(0),
                jnp.zeros((cfg.batch_size, size, size, 3),
                          jnp.dtype(cfg.compute_dtype))).compile()
-    click.echo(f"  train step: {time.time() - t1:.1f}s")
+    t2 = time.time()
+    click.echo(f"  train step: {t2 - t1:.1f}s")
+
+    # The in-loop cadence programs are the remaining cold compiles a fresh
+    # run pays mid-training (measured through the relay: eval 80.7 s at its
+    # first i=0 firing, probe 24.3 s at its first cadence hit). Same
+    # shape/dtype signatures as the loop's calls: eval on (u8 batch, int32
+    # labels, f32 valid) via make_test_step; the batched faithfulness probe
+    # at its fixed chunk of 32.
+    from viscoin_tpu.eval.viscoin import (
+        _bundle_variables,
+        make_faithfulness_fn,
+        make_test_step,
+    )
+
+    click.echo("compiling in-loop eval step...")
+    variables = _bundle_variables(models)
+    valid = jnp.ones((cfg.batch_size,), jnp.float32)
+    make_test_step(models, lpips, mesh=mesh).lower(
+        variables, lparams, images, labels, valid).compile()
+    t3 = time.time()
+    click.echo(f"  eval step: {t3 - t2:.1f}s")
+    click.echo("compiling faithfulness probe...")
+    make_faithfulness_fn(models).lower(
+        variables, jnp.zeros((32, size, size, 3), jnp.uint8)).compile()
+    click.echo(f"  probe: {time.time() - t3:.1f}s")
     click.echo("done — a `train viscoin` run with these flags starts warm "
                "(cache: see JAX_COMPILATION_CACHE_DIR, default "
                "~/.cache/jax_comp_cache)")

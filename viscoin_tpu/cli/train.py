@@ -131,13 +131,17 @@ from viscoin_tpu.utils.logging import configure_score_logging
 @click.option("--faithfulness-every", type=int, default=None,
               help="[viscoin] 200-image amplification faithfulness probe "
                    "cadence (reference: 25000, viscoin.py:273); 0 disables")
+@click.option("--prefetch", type=int, default=1, show_default=True,
+              help="[viscoin] Batches to load + host→device transfer ahead "
+                   "of the running step (background thread; order-preserving "
+                   "so resume determinism holds). 0 = synchronous")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, model_parallel, optimizer, momentum, compute_dtype,
           debug_nans, resume_from, profile_dir, channel_base, channel_max,
           fid_detector_path, fid_every, fid_samples, init_from, ema_rampup,
           mirror, image_size, snapshot_every, eval_every, checkpoint_every,
-          faithfulness_every):
+          faithfulness_every, prefetch):
     """Train a model on a dataset. Metrics are logged to a jsonl file."""
     if debug_nans:
         from viscoin_tpu.utils.profiling import enable_nan_debugging
@@ -164,7 +168,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                            profile_dir, fid_detector_path,
                            model_parallel=model_parallel,
                            compute_dtype=compute_dtype, ds_kwargs=ds_kwargs,
-                           **cadences)
+                           prefetch=prefetch, **cadences)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
@@ -627,7 +631,8 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                    gradient_accumulation_steps, data_parallel, resume_from=None,
                    profile_dir=None, fid_detector_path=None, model_parallel=1,
                    compute_dtype="bfloat16", ds_kwargs=None, eval_every=2000,
-                   checkpoint_every=20_000, faithfulness_every=25_000):
+                   checkpoint_every=20_000, faithfulness_every=25_000,
+                   prefetch=1):
     from viscoin_tpu.models.stylegan import adapted_params_from_gan
     from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
     from viscoin_tpu.utils import checkpoints as ckpt
@@ -692,5 +697,6 @@ def _train_viscoin(dataset: DatasetType, learning_rate, epochs, batch_size,
                   train_loader, test_loader, params, mesh=mesh,
                   resume_from=resume_from, profile_dir=profile_dir,
                   fid_detector=fid_detector, eval_every=eval_every,
+                  prefetch=prefetch,
                   checkpoint_every=checkpoint_every,
                   faithfulness_every=faithfulness_every)

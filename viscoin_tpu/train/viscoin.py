@@ -503,16 +503,36 @@ def train_viscoin(
     fid_detector=None,
     resume_from: str | None = None,
     profile_dir: str | None = None,
+    prefetch: int = 0,
+    timings: dict | None = None,
+    stop_after: int | None = None,
 ) -> VisCoINModels:
     """The outer training loop (reference: training/viscoin.py:84-295):
     jitted step + every-2000-it full test eval, every-20k checkpoints, and the
     every-25k 200-image amplification faithfulness probe. Adds deterministic
-    resume (``resume_from``), which the reference lacks (SURVEY.md §5)."""
+    resume (``resume_from``), which the reference lacks (SURVEY.md §5).
+
+    ``prefetch``: >0 overlaps host-side batch loading + the host→device
+    transfer of the next ``prefetch`` batches with the running step (a
+    background thread pulls the loader and device-places batches ahead;
+    order — and therefore determinism/resume — is unchanged: one producer,
+    one FIFO queue).
+
+    ``timings``: a dict to accumulate per-phase wall seconds into
+    ("steps", "eval", "checkpoint", "probe", counts under "n_<phase>") —
+    the sustained-throughput bench (bench.py --sustained) uses this to
+    report the cadence overhead split.
+
+    ``stop_after``: run at most this many steps THIS CALL while keeping the
+    full ``cfg.iterations`` schedule (the LR decay — and hence the compiled
+    program — is a function of the configured horizon, not of how long this
+    process runs). Resume continues from wherever the run stopped."""
     import json
     import os
+    import time as _time
 
     from viscoin_tpu.data.loader import loop_iter
-    from viscoin_tpu.eval.viscoin import amplify_concepts, make_amplify_fns, test_viscoin
+    from viscoin_tpu.eval.viscoin import faithfulness_probe, test_viscoin
     from viscoin_tpu.utils import checkpoints as ckpt
     from viscoin_tpu.utils.logging import get_logger
 
@@ -578,7 +598,7 @@ def train_viscoin(
 
     base_rng = jax.random.PRNGKey(seed)
     train_iter = loop_iter(train_loader)
-    amplify_fns = None
+    probe_fn = None
     eval_step = None
     fake_group, fake_group_start = None, -1
 
@@ -601,10 +621,73 @@ def train_viscoin(
         steps_per_epoch = len(train_loader.dataset) // cfg.batch_size
         epochs_done, rem = divmod(start, steps_per_epoch)
         train_loader.skip_batches(epochs_done * len(train_loader) + rem)
-    for i in range(start, cfg.iterations):
+
+    def _place(images, labels):
+        """Device-place one host batch with the step's exact input sharding."""
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from viscoin_tpu.parallel.mesh import global_shard_batch, image_spec
+
+            # On one process == shard_batch; on a multi-host mesh each
+            # process contributes its loader shard of the global batch.
+            # 2-D mesh: images must be placed with the step's exact spatial
+            # sharding (image_spec) — jit refuses to reshard committed
+            # arrays.
+            return global_shard_batch(
+                mesh, images, labels.astype("int32"),
+                specs=(image_spec(mesh), P("data")))
+        return jnp.asarray(images), jnp.asarray(labels.astype("int32"))
+
+    def _pull():
         images, labels = next(train_iter)
         while images.shape[0] != local_rows:  # skip ragged final batches
             images, labels = next(train_iter)  # (shape stability under jit)
+        return images, labels
+
+    producer_stop = None
+    if prefetch > 0:
+        # Host loading + host→device transfer of the next `prefetch` batches
+        # overlap the running step (VERDICT r4 item 7). device_put is
+        # thread-safe; the single producer preserves batch order exactly.
+        import queue
+        import threading
+
+        batch_q: queue.Queue = queue.Queue(maxsize=prefetch)
+        producer_stop = threading.Event()
+
+        def _producer():
+            try:
+                while not producer_stop.is_set():
+                    batch_q.put(_place(*_pull()))
+            except BaseException as e:  # surfaced on the consumer side
+                batch_q.put(e)
+
+        threading.Thread(target=_producer, daemon=True,
+                         name="viscoin-prefetch").start()
+
+        def next_batch():
+            item = batch_q.get()
+            if isinstance(item, BaseException):
+                raise item
+            return item
+    else:
+        def next_batch():
+            return _place(*_pull())
+
+    def _mark(phase, t0):
+        if timings is not None:
+            dt = _time.perf_counter() - t0
+            timings[phase] = timings.get(phase, 0.0) + dt
+            timings[f"n_{phase}"] = timings.get(f"n_{phase}", 0) + 1
+            # the max is usually the first occurrence = the compile-laden one
+            timings[f"max_{phase}"] = max(timings.get(f"max_{phase}", 0.0), dt)
+
+    end = cfg.iterations if stop_after is None else min(
+        cfg.iterations, start + stop_after)
+    for i in range(start, end):
+        t_step = _time.perf_counter()
+        images, labels = next_batch()
         # Per-iteration key is a pure function of (seed, i): deterministic
         # resume — a resumed step i draws the same randomness as an unbroken
         # run's step i.
@@ -622,23 +705,9 @@ def train_viscoin(
             except Exception as e:  # pragma: no cover - backend dependent
                 print(f"WARNING: profiler unavailable ({type(e).__name__})")
                 profile_dir = None
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as P
-
-            from viscoin_tpu.parallel.mesh import global_shard_batch, image_spec
-
-            # On one process == shard_batch; on a multi-host mesh each
-            # process contributes its loader shard of the global batch.
-            # 2-D mesh: images must be placed with the step's exact spatial
-            # sharding (image_spec) — jit refuses to reshard committed
-            # arrays.
-            images, labels = global_shard_batch(
-                mesh, images, labels.astype("int32"),
-                specs=(image_spec(mesh), P("data")))
-        else:
-            images, labels = jnp.asarray(images), jnp.asarray(labels.astype("int32"))
         state, metrics = step_fn(state, frozen, images, labels, k,
                                  fake_group[i - group])
+        _mark("steps", t_step)
         if profile_dir and i == start + 5:
             float(metrics["total_loss"])  # flush the relay before stopping
             try:
@@ -650,6 +719,7 @@ def train_viscoin(
 
         # 0 disables the cadence (like faithfulness_every)
         if eval_every and i % eval_every == 0:
+            t_eval = _time.perf_counter()
             sync_models()
             train_data = {
                 f"train_{k_}": float(metrics[k_])
@@ -676,8 +746,10 @@ def train_viscoin(
                                test_results.__dict__.items()})
             if jax.process_index() == 0:  # one jsonl log, not one per host
                 logger.info(json.dumps(train_data))
+            _mark("eval", t_eval)
 
         if checkpoint_every and i % checkpoint_every == 0:
+            t_ckpt = _time.perf_counter()
             sync_models()
             if jax.process_index() == 0:
                 # Process-0-only writes: state/params are replicated, so every
@@ -693,14 +765,21 @@ def train_viscoin(
                 ckpt.save_train_state(
                     state, os.path.join(checkpoint_dir, "train_state"),
                     meta=resume_meta, async_save=True)
+            _mark("checkpoint", t_ckpt)
 
         if (faithfulness_every and i % faithfulness_every == 0 and i > 0
                 and jax.process_index() == 0):
-            # 200-image amplification faithfulness probe (viscoin.py:273-295),
-            # run ONCE (process 0): the probe's jits are process-local, so on
-            # multi-host the globally-replicated bundle arrays are localized
-            # to host copies first — feeding global arrays into a local jit
-            # would make it a collective program only one process enters.
+            t_probe = _time.perf_counter()
+            # 200-image faithfulness probe (viscoin.py:273-295), run ONCE
+            # (process 0) as fixed-shape BATCHED device programs — the
+            # reference dispatches one amplify_concepts program per image
+            # (200 round trips); the probe's statistic is the ×1 (identity
+            # scale) reconstruction probability, so it batches exactly
+            # (see make_faithfulness_fn). The probe's jits are
+            # process-local, so on multi-host the globally-replicated
+            # bundle arrays are localized to host copies first — feeding
+            # global arrays into a local jit would make it a collective
+            # program only one process enters.
             sync_models()
             probe_models = models
             if jax.process_count() > 1:
@@ -714,27 +793,30 @@ def train_viscoin(
                     explainer_params=loc(models.explainer_params),
                     gan_vars=loc(models.gan_vars),
                 )
-                # (amplify_fns close over module DEFS only — variables ride
-                # as jit arguments — so the compiled fns are reusable.)
-            if amplify_fns is None:
-                amplify_fns = make_amplify_fns(probe_models)
-            ds = test_loader.dataset
-            probs = []
-            probe_rng = np.random.default_rng((seed, i))  # resume-deterministic
-            from viscoin_tpu.data.transforms import device_preprocess as _prep
+                # (the probe fn closes over module DEFS only — variables
+                # ride as jit arguments — so the compiled fn is reusable.)
+            if probe_fn is None:
+                from viscoin_tpu.eval.viscoin import make_faithfulness_fn
 
-            for idx in probe_rng.choice(len(ds), min(200, len(ds)), replace=False):
-                img_u8 = ds[int(idx)][0]
-                x = _prep(jnp.asarray(img_u8[None]))[0]
-                res = amplify_concepts(
-                    x, probe_models, {"method": "threshold", "threshold": 0.2},
-                    [0.0, 1.0, 2.0, 4.0], rng=probe_rng, fns=amplify_fns,
-                )
-                probs.append(res.best_concept_probas_best[1])
+                probe_fn = make_faithfulness_fn(probe_models)
+            ds = test_loader.dataset
+            probe_rng = np.random.default_rng((seed, i))  # resume-deterministic
+            idx = probe_rng.choice(len(ds), min(200, len(ds)), replace=False)
+            images_u8 = np.stack([np.asarray(ds[int(j)][0]) for j in idx])
+            probs = faithfulness_probe(probe_models, images_u8, fn=probe_fn)
 
             print(f"Faithfullness stats (probability of best concept after "
                   f"reconstruction): mean = {np.mean(probs)} --- std = {np.std(probs)}")
+            _mark("probe", t_probe)
 
+    if producer_stop is not None:
+        # Unblock a producer waiting on a full queue, then let it exit.
+        producer_stop.set()
+        while True:
+            try:
+                batch_q.get_nowait()
+            except Exception:
+                break
     sync_models()
     ckpt.wait_for_saves()  # join (and surface errors from) async checkpoints
     return models
