@@ -56,6 +56,7 @@ SMOKE = {
     "test_resnet_parity.py::test_classifier_parity",  # torch parity anchor
     "test_dataset_tool.py::test_zip_roundtrip_dataset",
     "test_utils_misc.py",                           # jsonl/maths/images utils
+    "test_dp_scaling.py::test_scaling_arithmetic_clears_north_star",  # DP math
 }
 
 
