@@ -236,25 +236,18 @@ def run_sustained(batch: int = 64, iters: int = 2000, prefetch: int = 1,
     all derivable from the split."""
     import tempfile
 
+    from viscoin_tpu.cli.train import build_viscoin_modules
     from viscoin_tpu.data.datasets import SyntheticDataset
     from viscoin_tpu.data.loader import DataLoader
-    from viscoin_tpu.models.bundle import default_models, init_models
-    from viscoin_tpu.models.lpips import LPIPS
-    from viscoin_tpu.models.stylegan import Generator
     from viscoin_tpu.train.viscoin import VisCoINTrainingParams, train_viscoin
 
-    models = default_models(n_classes=200, n_concepts=256, img_resolution=256,
-                            channel_base=16384)
-    models = init_models(models, jax.random.PRNGKey(0), image_size=256)
-    generator = Generator(z_dim=512, w_dim=512, img_resolution=256,
-                          channel_base=16384, mapping_layers=2)
-    gvars = jax.jit(generator.init, static_argnames=("noise_mode",))(
-        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 512)),
-        noise_mode="const")
-    lpips = LPIPS()
-    lparams = jax.jit(lpips.init)(
-        jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)),
-        jnp.zeros((1, 256, 256, 3)))["params"]
+    # The ONE construction site shared with `train viscoin` and `prewarm`
+    # (CLAUDE.md): the sustained bench must time the exact trained/prewarmed
+    # program — a hand-copied geometry here would silently diverge.
+    models, generator, lpips, init_gvars, init_lparams = \
+        build_viscoin_modules(n_classes=200, size=256)
+    gvars = init_gvars()
+    lparams = init_lparams()
 
     train_ds = SyntheticDataset(n=512, n_classes=200, image_size=256,
                                 mode="train")
@@ -272,12 +265,19 @@ def run_sustained(batch: int = 64, iters: int = 2000, prefetch: int = 1,
     timings: dict = {}
     t0 = time.time()
     with tempfile.TemporaryDirectory() as ckpt_dir:
-        train_viscoin(models, generator, gvars, lpips, lparams,
-                      train_loader, test_loader, cfg,
-                      checkpoint_dir=ckpt_dir, eval_every=eval_every,
-                      checkpoint_every=checkpoint_every,
-                      faithfulness_every=faithfulness_every,
-                      prefetch=prefetch, timings=timings, stop_after=iters)
+        out = train_viscoin(models, generator, gvars, lpips, lparams,
+                            train_loader, test_loader, cfg,
+                            checkpoint_dir=ckpt_dir, eval_every=eval_every,
+                            checkpoint_every=checkpoint_every,
+                            faithfulness_every=faithfulness_every,
+                            prefetch=prefetch, timings=timings,
+                            stop_after=iters)
+        # Flush the tail: every step after the last blocking cadence is
+        # async-dispatched, so without a host readback of a value that
+        # depends on the final state the wall clock misses in-flight device
+        # work (block_until_ready does not flush the relay — CLAUDE.md).
+        _ = float(np.asarray(
+            jax.tree_util.tree_leaves(out.explainer_params)[0]).ravel()[0])
         wall = time.time() - t0
 
     out = {
@@ -320,8 +320,11 @@ def main():
     args = sys.argv[1:]
     if "--sustained" in args:
         args.remove("--sustained")
+        prefetch = 1
+        if "--no-prefetch" in args:  # strip flags BEFORE the positional parse
+            prefetch = 0
+            args.remove("--no-prefetch")
         iters = int(args[0]) if args else 2000
-        prefetch = 0 if "--no-prefetch" in args else 1
         result = run_sustained(iters=iters, prefetch=prefetch)
         print(json.dumps({
             "metric": "viscoin_sustained_images_per_sec",

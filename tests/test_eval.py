@@ -145,6 +145,15 @@ def test_faithfulness_probe_matches_amplify(models, rng):
     assert got.shape == (5,)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
+    # mesh form (explicit replicated shardings — what the training loop
+    # builds on single-process multi-device runs, and what prewarm compiles)
+    from viscoin_tpu.eval.viscoin import make_faithfulness_fn
+    from viscoin_tpu.parallel.mesh import make_mesh
+
+    fn_mesh = make_faithfulness_fn(models, mesh=make_mesh(8))
+    got_mesh = faithfulness_probe(models, images_u8, batch_size=2, fn=fn_mesh)
+    np.testing.assert_allclose(got_mesh, got, rtol=1e-5, atol=1e-7)
+
 
 def test_test_concepts(models, loader):
     results = eval_concepts(models, loader, n_classes=NC)

@@ -169,7 +169,7 @@ def prewarm(model_name, dataset, device, batch_size, learning_rate, epochs,
     t3 = time.time()
     click.echo(f"  eval step: {t3 - t2:.1f}s")
     click.echo("compiling faithfulness probe...")
-    make_faithfulness_fn(models).lower(
+    make_faithfulness_fn(models, mesh=mesh).lower(
         variables, jnp.zeros((32, size, size, 3), jnp.uint8)).compile()
     click.echo(f"  probe: {time.time() - t3:.1f}s")
     click.echo("done — a `train viscoin` run with these flags starts warm "

@@ -400,7 +400,7 @@ def amplify_concepts(
     return results
 
 
-def make_faithfulness_fn(models: VisCoINModels):
+def make_faithfulness_fn(models: VisCoINModels, mesh=None):
     """ONE jitted fixed-shape program for the training-loop faithfulness probe
     (reference: training/viscoin.py:273-295).
 
@@ -420,9 +420,16 @@ def make_faithfulness_fn(models: VisCoINModels):
 
     Returns ``probe(variables, images_u8 (B,H,W,3) uint8) -> (B,) float``.
     Semantics are identical to the per-image ``amplify_concepts`` path
-    (tested: tests/test_eval.py::test_faithfulness_probe_matches_amplify)."""
+    (tested: tests/test_eval.py::test_faithfulness_probe_matches_amplify).
 
-    @jax.jit
+    ``mesh``: pass the training mesh on single-process multi-device runs so
+    the probe's shardings are EXPLICIT (everything replicated — the probe is
+    seconds of work; sharding would impose batch-divisibility constraints).
+    The training loop feeds mesh-committed replicated params after
+    sync_models, so an inferred-sharding jit would compile a different
+    program than a host-array prewarm — explicit in_shardings make the
+    in-loop and prewarmed programs identical by construction."""
+
     def probe(variables, images_u8):
         x = device_preprocess(images_u8)
         _, hidden = models.classifier.apply(variables["classifier"], x, train=False)
@@ -445,7 +452,13 @@ def make_faithfulness_fn(models: VisCoINModels):
         probas = jax.nn.softmax(logits2, axis=1)
         return jnp.take_along_axis(probas, concept_pred[:, None], axis=1)[:, 0]
 
-    return probe
+    if mesh is None:
+        return jax.jit(probe)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(probe, in_shardings=(rep, rep), out_shardings=rep)
 
 
 def faithfulness_probe(

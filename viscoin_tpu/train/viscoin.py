@@ -685,138 +685,152 @@ def train_viscoin(
 
     end = cfg.iterations if stop_after is None else min(
         cfg.iterations, start + stop_after)
-    for i in range(start, end):
-        t_step = _time.perf_counter()
-        images, labels = next_batch()
-        # Per-iteration key is a pure function of (seed, i): deterministic
-        # resume — a resumed step i draws the same randomness as an unbroken
-        # run's step i.
-        k = jax.random.fold_in(base_rng, i)
-        # Presampled frozen-GAN batches for K steps at a time (group aligned
-        # to ABSOLUTE step numbers and keyed per step, so any resume point
-        # regenerates the identical samples).
-        group = (i // K) * K
-        if fake_group_start != group:
-            fake_group = sample_fakes(frozen, fake_sample_keys(base_rng, group, K))
-            fake_group_start = group
-        if profile_dir and i == start + 2:  # skip compile + one warm step
-            try:
-                jax.profiler.start_trace(profile_dir)
-            except Exception as e:  # pragma: no cover - backend dependent
-                print(f"WARNING: profiler unavailable ({type(e).__name__})")
+    try:
+        for i in range(start, end):
+            if profile_dir and i == start + 2:  # skip compile + one warm step
+                # Started BEFORE this iteration's batch placement so the trace
+                # window covers the host→device input transfer (the measured
+                # binding constraint on relay-attached setups; with prefetch the
+                # producer thread's uploads for later steps land in-window too).
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception as e:  # pragma: no cover - backend dependent
+                    print(f"WARNING: profiler unavailable ({type(e).__name__})")
+                    profile_dir = None
+            t_step = _time.perf_counter()
+            images, labels = next_batch()
+            # Per-iteration key is a pure function of (seed, i): deterministic
+            # resume — a resumed step i draws the same randomness as an unbroken
+            # run's step i.
+            k = jax.random.fold_in(base_rng, i)
+            # Presampled frozen-GAN batches for K steps at a time (group aligned
+            # to ABSOLUTE step numbers and keyed per step, so any resume point
+            # regenerates the identical samples).
+            group = (i // K) * K
+            if fake_group_start != group:
+                fake_group = sample_fakes(frozen, fake_sample_keys(base_rng, group, K))
+                fake_group_start = group
+            state, metrics = step_fn(state, frozen, images, labels, k,
+                                     fake_group[i - group])
+            _mark("steps", t_step)
+            if profile_dir and i == start + 5:
+                float(metrics["total_loss"])  # flush the relay before stopping
+                try:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                except Exception:  # pragma: no cover
+                    pass
                 profile_dir = None
-        state, metrics = step_fn(state, frozen, images, labels, k,
-                                 fake_group[i - group])
-        _mark("steps", t_step)
-        if profile_dir and i == start + 5:
-            float(metrics["total_loss"])  # flush the relay before stopping
-            try:
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to {profile_dir}")
-            except Exception:  # pragma: no cover
-                pass
-            profile_dir = None
 
-        # 0 disables the cadence (like faithfulness_every)
-        if eval_every and i % eval_every == 0:
-            t_eval = _time.perf_counter()
-            sync_models()
-            train_data = {
-                f"train_{k_}": float(metrics[k_])
-                for k_ in ["acc_loss", "cr_loss", "of_loss", "ortho_loss",
-                           "rec_loss", "gan_loss", "inter_loss"]
-            }
-            if eval_step is None:
-                from viscoin_tpu.eval.viscoin import make_test_step
+            # 0 disables the cadence (like faithfulness_every)
+            if eval_every and i % eval_every == 0:
+                t_eval = _time.perf_counter()
+                sync_models()
+                train_data = {
+                    f"train_{k_}": float(metrics[k_])
+                    for k_ in ["acc_loss", "cr_loss", "of_loss", "ortho_loss",
+                               "rec_loss", "gan_loss", "inter_loss"]
+                }
+                if eval_step is None:
+                    from viscoin_tpu.eval.viscoin import make_test_step
 
-                # Built once: a fresh jit wrapper per eval would retrace
-                # (and, without a persistent cache, recompile) every
-                # 2000 iterations.
-                eval_step = make_test_step(models, lpips_module, mesh=mesh)
-            # Multi-host capable: every process participates (the eval step
-            # and FID moments are GSPMD-reduced over the mesh; test_loader is
-            # validated sharded above), and the replicated metric scalars are
-            # identical on every host.
-            test_results = test_viscoin(
-                models, lpips_module, lpips_params, test_loader,
-                compute_fid=fid_detector is not None,
-                fid_detector=fid_detector, verbose=False, mesh=mesh,
-                step=eval_step)
-            train_data.update({f"test_{k_}": v for k_, v in
-                               test_results.__dict__.items()})
-            if jax.process_index() == 0:  # one jsonl log, not one per host
-                logger.info(json.dumps(train_data))
-            _mark("eval", t_eval)
+                    # Built once: a fresh jit wrapper per eval would retrace
+                    # (and, without a persistent cache, recompile) every
+                    # 2000 iterations.
+                    eval_step = make_test_step(models, lpips_module, mesh=mesh)
+                # Multi-host capable: every process participates (the eval step
+                # and FID moments are GSPMD-reduced over the mesh; test_loader is
+                # validated sharded above), and the replicated metric scalars are
+                # identical on every host.
+                test_results = test_viscoin(
+                    models, lpips_module, lpips_params, test_loader,
+                    compute_fid=fid_detector is not None,
+                    fid_detector=fid_detector, verbose=False, mesh=mesh,
+                    step=eval_step)
+                train_data.update({f"test_{k_}": v for k_, v in
+                                   test_results.__dict__.items()})
+                if jax.process_index() == 0:  # one jsonl log, not one per host
+                    logger.info(json.dumps(train_data))
+                _mark("eval", t_eval)
 
-        if checkpoint_every and i % checkpoint_every == 0:
-            t_ckpt = _time.perf_counter()
-            sync_models()
-            if jax.process_index() == 0:
-                # Process-0-only writes: state/params are replicated, so every
-                # process holds identical host-readable copies and concurrent
-                # writes to the same path would race.
-                ckpt.save_viscoin(models, os.path.join(
-                    checkpoint_dir,
-                    f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
-                ), async_save=True)
-                # async: the host snapshot is taken here (the step donates
-                # the state), serialization + disk write ride the background
-                # writer — the loop continues into the next step.
-                ckpt.save_train_state(
-                    state, os.path.join(checkpoint_dir, "train_state"),
-                    meta=resume_meta, async_save=True)
-            _mark("checkpoint", t_ckpt)
+            if checkpoint_every and i % checkpoint_every == 0:
+                t_ckpt = _time.perf_counter()
+                sync_models()
+                if jax.process_index() == 0:
+                    # Process-0-only writes: state/params are replicated, so every
+                    # process holds identical host-readable copies and concurrent
+                    # writes to the same path would race.
+                    ckpt.save_viscoin(models, os.path.join(
+                        checkpoint_dir,
+                        f"viscoin{i // checkpoint_every}-{cfg.iterations // checkpoint_every}",
+                    ), async_save=True)
+                    # async: the host snapshot is taken here (the step donates
+                    # the state), serialization + disk write ride the background
+                    # writer — the loop continues into the next step.
+                    ckpt.save_train_state(
+                        state, os.path.join(checkpoint_dir, "train_state"),
+                        meta=resume_meta, async_save=True)
+                _mark("checkpoint", t_ckpt)
 
-        if (faithfulness_every and i % faithfulness_every == 0 and i > 0
-                and jax.process_index() == 0):
-            t_probe = _time.perf_counter()
-            # 200-image faithfulness probe (viscoin.py:273-295), run ONCE
-            # (process 0) as fixed-shape BATCHED device programs — the
-            # reference dispatches one amplify_concepts program per image
-            # (200 round trips); the probe's statistic is the ×1 (identity
-            # scale) reconstruction probability, so it batches exactly
-            # (see make_faithfulness_fn). The probe's jits are
-            # process-local, so on multi-host the globally-replicated
-            # bundle arrays are localized to host copies first — feeding
-            # global arrays into a local jit would make it a collective
-            # program only one process enters.
-            sync_models()
-            probe_models = models
-            if jax.process_count() > 1:
-                import dataclasses as _dc
+            if (faithfulness_every and i % faithfulness_every == 0 and i > 0
+                    and jax.process_index() == 0):
+                t_probe = _time.perf_counter()
+                # 200-image faithfulness probe (viscoin.py:273-295), run ONCE
+                # (process 0) as fixed-shape BATCHED device programs — the
+                # reference dispatches one amplify_concepts program per image
+                # (200 round trips); the probe's statistic is the ×1 (identity
+                # scale) reconstruction probability, so it batches exactly
+                # (see make_faithfulness_fn). The probe's jits are
+                # process-local, so on multi-host the globally-replicated
+                # bundle arrays are localized to host copies first — feeding
+                # global arrays into a local jit would make it a collective
+                # program only one process enters.
+                sync_models()
+                probe_models = models
+                if jax.process_count() > 1:
+                    import dataclasses as _dc
 
-                loc = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
-                probe_models = _dc.replace(
-                    models,
-                    classifier_vars=loc(models.classifier_vars),
-                    concept_params=loc(models.concept_params),
-                    explainer_params=loc(models.explainer_params),
-                    gan_vars=loc(models.gan_vars),
-                )
-                # (the probe fn closes over module DEFS only — variables
-                # ride as jit arguments — so the compiled fn is reusable.)
-            if probe_fn is None:
-                from viscoin_tpu.eval.viscoin import make_faithfulness_fn
+                    loc = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+                    probe_models = _dc.replace(
+                        models,
+                        classifier_vars=loc(models.classifier_vars),
+                        concept_params=loc(models.concept_params),
+                        explainer_params=loc(models.explainer_params),
+                        gan_vars=loc(models.gan_vars),
+                    )
+                    # (the probe fn closes over module DEFS only — variables
+                    # ride as jit arguments — so the compiled fn is reusable.)
+                if probe_fn is None:
+                    from viscoin_tpu.eval.viscoin import make_faithfulness_fn
 
-                probe_fn = make_faithfulness_fn(probe_models)
-            ds = test_loader.dataset
-            probe_rng = np.random.default_rng((seed, i))  # resume-deterministic
-            idx = probe_rng.choice(len(ds), min(200, len(ds)), replace=False)
-            images_u8 = np.stack([np.asarray(ds[int(j)][0]) for j in idx])
-            probs = faithfulness_probe(probe_models, images_u8, fn=probe_fn)
+                    # Single-process: explicit replicated shardings on the
+                    # training mesh (matches the prewarm compile exactly).
+                    # Multi-host: a LOCAL program over the localized copies.
+                    probe_fn = make_faithfulness_fn(
+                        probe_models,
+                        mesh=mesh if jax.process_count() == 1 else None)
+                ds = test_loader.dataset
+                probe_rng = np.random.default_rng((seed, i))  # resume-deterministic
+                idx = probe_rng.choice(len(ds), min(200, len(ds)), replace=False)
+                images_u8 = np.stack([np.asarray(ds[int(j)][0]) for j in idx])
+                probs = faithfulness_probe(probe_models, images_u8, fn=probe_fn)
 
-            print(f"Faithfullness stats (probability of best concept after "
-                  f"reconstruction): mean = {np.mean(probs)} --- std = {np.std(probs)}")
-            _mark("probe", t_probe)
+                print(f"Faithfullness stats (probability of best concept after "
+                      f"reconstruction): mean = {np.mean(probs)} --- std = {np.std(probs)}")
+                _mark("probe", t_probe)
 
-    if producer_stop is not None:
-        # Unblock a producer waiting on a full queue, then let it exit.
-        producer_stop.set()
-        while True:
-            try:
-                batch_q.get_nowait()
-            except Exception:
-                break
+    finally:
+        # Producer shutdown must run on EVERY exit (step exception, OOM,
+        # KeyboardInterrupt, checkpoint IO error): a leaked producer blocks
+        # forever in batch_q.put, pinning its device-resident batches and
+        # the loader. Unblock one waiting put, then let the thread exit.
+        if producer_stop is not None:
+            producer_stop.set()
+            while True:
+                try:
+                    batch_q.get_nowait()
+                except Exception:
+                    break
     sync_models()
     ckpt.wait_for_saves()  # join (and surface errors from) async checkpoints
     return models
