@@ -131,10 +131,13 @@ from viscoin_tpu.utils.logging import configure_score_logging
 @click.option("--faithfulness-every", type=int, default=None,
               help="[viscoin] 200-image amplification faithfulness probe "
                    "cadence (reference: 25000, viscoin.py:273); 0 disables")
-@click.option("--prefetch", type=int, default=1, show_default=True,
-              help="[viscoin] Batches to load + host→device transfer ahead "
-                   "of the running step (background thread; order-preserving "
-                   "so resume determinism holds). 0 = synchronous")
+@click.option("--prefetch", type=int, default=None,
+              help="[viscoin/gan] Batches to load + host→device transfer "
+                   "ahead of the running step (background thread; "
+                   "order-preserving so resume determinism holds). "
+                   "0 = synchronous. Default: 1 for viscoin, 0 for gan "
+                   "(measured on the relay: +23-28% on viscoin's "
+                   "non-blocking loop, a regression on gan's — BASELINE.md)")
 def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
           epochs, latent_type, output_weights, gradient_accumulation_steps,
           data_parallel, model_parallel, optimizer, momentum, compute_dtype,
@@ -168,7 +171,8 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                            profile_dir, fid_detector_path,
                            model_parallel=model_parallel,
                            compute_dtype=compute_dtype, ds_kwargs=ds_kwargs,
-                           prefetch=prefetch, **cadences)
+                           prefetch=1 if prefetch is None else prefetch,
+                           **cadences)
         case "gan":
             _train_gan(dataset, learning_rate, epochs, batch_size,
                        data_parallel, output_weights, channel_base, channel_max,
@@ -178,6 +182,7 @@ def train(model_name, dataset, device, checkpoints, batch_size, learning_rate,
                        fid_every=fid_every, fid_samples=fid_samples,
                        mirror=mirror, snapshot_every=snapshot_every,
                        init_from=init_from, ema_rampup=ema_rampup,
+                       prefetch=0 if prefetch is None else prefetch,
                        **({"checkpoint_every": checkpoint_every}
                           if checkpoint_every is not None else {}),
                        ds_kwargs=ds_kwargs)
@@ -336,7 +341,7 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
                seed=0, model_parallel=1, compute_dtype="bfloat16",
                fid_detector_path=None, fid_every=0, fid_samples=8192,
                mirror=True, snapshot_every=0, init_from=None,
-               ema_rampup=None, ds_kwargs=None):
+               ema_rampup=None, ds_kwargs=None, prefetch=0):
     """In-framework StyleGAN2 training (the capability the reference
     outsources): `epochs` counts ITERATIONS like `train viscoin`. Saves the
     EMA generator variables to --output-weights in the orbax format that
@@ -502,47 +507,70 @@ def _train_gan(dataset: DatasetType, learning_rate, epochs, batch_size,
         steps_per_epoch = len(train_loader.dataset) // cfg.batch_size
         epochs_done, rem = divmod(start, steps_per_epoch)
         train_loader.skip_batches(epochs_done * len(train_loader) + rem)
-    for i in range(start, cfg.iterations):
+    def _next_images():
         images, _ = next(it)
         while images.shape[0] != local_bs:  # shape stability under jit
             images, _ = next(it)
         if mesh is not None:
             from viscoin_tpu.parallel.mesh import image_spec
 
-            images = global_shard_batch(mesh, np.asarray(images),
-                                        specs=(image_spec(mesh),))
-        state, metrics = step(state, g_extras, jnp.asarray(images),
-                              jax.random.fold_in(base_rng, i))
-        if i % 100 == 0 or i == cfg.iterations - 1:
-            logger.info(json.dumps(
-                {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
-        if fid_enabled and \
-                ((i > start and i % fid_every == 0) or i == cfg.iterations - 1):
-            ema_vars = export_generator_vars(state, g_extras)
-            # Fresh draws per eval point, on the tag-rooted stream.
-            fid_base = jax.random.fold_in(base_rng, _FID_TAG)
-            stats_fake = accumulate_fake_fid_stats(
-                detector, fake_images_fn, ema_vars,
-                jax.random.fold_in(fid_base, i), fid_samples)
-            fid = fid_from_stats(stats_real, stats_fake)
-            logger.info(json.dumps({"iteration": i, "fid": fid}))
-            click.echo(f"it {i}: fid={fid:.3f} "
-                       f"({stats_fake.num_items} fakes)")
-        if snapshot_fn is not None and \
-                (i % snapshot_every == 0 or i == cfg.iterations - 1) \
-                and jax.process_index() == 0:
-            from PIL import Image
+            return global_shard_batch(mesh, np.asarray(images),
+                                      specs=(image_spec(mesh),))
+        return jnp.asarray(images)
 
-            u8 = np.asarray(jax.device_get(snapshot_fn(
-                export_generator_vars(state, g_extras), snapshot_key)))
-            n, h, w, c = u8.shape  # 16 -> 4x4 grid
-            grid = u8.reshape(4, 4, h, w, c).transpose(0, 2, 1, 3, 4)
-            grid = grid.reshape(4 * h, 4 * w, c)
-            Image.fromarray(grid).save(f"fakes_{i:06d}.png")
-        if checkpoint_every and i > start and i % checkpoint_every == 0 \
-                and jax.process_index() == 0:
-            ckpt.save_gan_train_state(state, state_path, meta=resume_meta,
-                                      async_save=True)
+    prefetcher = None
+    if prefetch > 0:
+        # Overlap host loading + the host→device upload with the running
+        # step, exactly like train_viscoin (order-preserving single
+        # producer — the deterministic-resume replay is unchanged).
+        from viscoin_tpu.data.loader import DevicePrefetcher
+
+        prefetcher = DevicePrefetcher(_next_images, prefetch)
+        next_images = prefetcher.next
+    else:
+        next_images = _next_images
+
+    try:
+        for i in range(start, cfg.iterations):
+            images = next_images()
+            state, metrics = step(state, g_extras, images,
+                                  jax.random.fold_in(base_rng, i))
+            if i % 100 == 0 or i == cfg.iterations - 1:
+                logger.info(json.dumps(
+                    {"iteration": i, **{k: float(v) for k, v in metrics.items()}}))
+            if fid_enabled and \
+                    ((i > start and i % fid_every == 0) or i == cfg.iterations - 1):
+                ema_vars = export_generator_vars(state, g_extras)
+                # Fresh draws per eval point, on the tag-rooted stream.
+                fid_base = jax.random.fold_in(base_rng, _FID_TAG)
+                stats_fake = accumulate_fake_fid_stats(
+                    detector, fake_images_fn, ema_vars,
+                    jax.random.fold_in(fid_base, i), fid_samples)
+                fid = fid_from_stats(stats_real, stats_fake)
+                logger.info(json.dumps({"iteration": i, "fid": fid}))
+                click.echo(f"it {i}: fid={fid:.3f} "
+                           f"({stats_fake.num_items} fakes)")
+            if snapshot_fn is not None and \
+                    (i % snapshot_every == 0 or i == cfg.iterations - 1) \
+                    and jax.process_index() == 0:
+                from PIL import Image
+
+                u8 = np.asarray(jax.device_get(snapshot_fn(
+                    export_generator_vars(state, g_extras), snapshot_key)))
+                n, h, w, c = u8.shape  # 16 -> 4x4 grid
+                grid = u8.reshape(4, 4, h, w, c).transpose(0, 2, 1, 3, 4)
+                grid = grid.reshape(4 * h, 4 * w, c)
+                Image.fromarray(grid).save(f"fakes_{i:06d}.png")
+            if checkpoint_every and i > start and i % checkpoint_every == 0 \
+                    and jax.process_index() == 0:
+                ckpt.save_gan_train_state(state, state_path, meta=resume_meta,
+                                          async_save=True)
+
+    finally:
+        # runs on every exit (step/FID/IO exception, Ctrl-C): a leaked
+        # producer would block in put() holding device batches
+        if prefetcher is not None:
+            prefetcher.close()
 
     if jax.process_index() == 0:
         ckpt.wait_for_saves()  # mid-run async saves commit before the final

@@ -122,28 +122,38 @@ def _optimizers(cfg: GANTrainingParams):
 
 def create_gan_train_state(generator, discriminator, rng, cfg: GANTrainingParams,
                            image_size: int):
-    kg, kd = jax.random.split(rng)
-    g_vars = generator.init({"params": kg}, jnp.zeros((1, generator.z_dim)),
-                            noise_mode="const")
-    d_vars = discriminator.init(kd, jnp.zeros((1, image_size, image_size, 3)))
-    g_tx, d_tx = _optimizers(cfg)
-    state = GANTrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_vars["params"],
-        d_params=d_vars["params"],
-        g_opt_state=g_tx.init(g_vars["params"]),
-        d_opt_state=d_tx.init(d_vars["params"]),
-        g_ema_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
-        w_avg=jnp.zeros((generator.w_dim,), jnp.float32),
-        pl_mean=jnp.zeros((), jnp.float32),
-        ada_p=jnp.asarray(cfg.augment_p, jnp.float32),
-        ada_rt=jnp.zeros((), jnp.float32),
-    )
-    # Non-param collections ride along on every apply. The moving_stats copy
-    # in here stays at its init value — the LIVE w_avg is tracked in
-    # GANTrainState and written over it by export_generator_vars.
-    g_extras = {k: v for k, v in g_vars.items() if k != "params"}
-    return state, g_extras
+    # ONE jitted program, like the viscoin bundle's init_models (CLAUDE.md):
+    # an eager G+D init is hundreds of per-op dispatches — each a separate
+    # compile+round-trip on a relay-attached device. Measured at the 256²
+    # reference config through the relay: eager ~17-25 MINUTES of `train
+    # gan` startup vs ~1 min as one compiled program (cached thereafter).
+    def _init(rng):
+        kg, kd = jax.random.split(rng)
+        g_vars = generator.init({"params": kg},
+                                jnp.zeros((1, generator.z_dim)),
+                                noise_mode="const")
+        d_vars = discriminator.init(kd,
+                                    jnp.zeros((1, image_size, image_size, 3)))
+        g_tx, d_tx = _optimizers(cfg)
+        state = GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars["params"],
+            d_params=d_vars["params"],
+            g_opt_state=g_tx.init(g_vars["params"]),
+            d_opt_state=d_tx.init(d_vars["params"]),
+            g_ema_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
+            w_avg=jnp.zeros((generator.w_dim,), jnp.float32),
+            pl_mean=jnp.zeros((), jnp.float32),
+            ada_p=jnp.asarray(cfg.augment_p, jnp.float32),
+            ada_rt=jnp.zeros((), jnp.float32),
+        )
+        # Non-param collections ride along on every apply. The moving_stats
+        # copy in here stays at its init value — the LIVE w_avg is tracked
+        # in GANTrainState and written over it by export_generator_vars.
+        g_extras = {k: v for k, v in g_vars.items() if k != "params"}
+        return state, g_extras
+
+    return jax.jit(_init)(rng)
 
 
 def export_generator_vars(state: GANTrainState, g_extras: Any,

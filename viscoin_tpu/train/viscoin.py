@@ -645,32 +645,15 @@ def train_viscoin(
             images, labels = next(train_iter)  # (shape stability under jit)
         return images, labels
 
-    producer_stop = None
+    prefetcher = None
     if prefetch > 0:
         # Host loading + host→device transfer of the next `prefetch` batches
-        # overlap the running step (VERDICT r4 item 7). device_put is
-        # thread-safe; the single producer preserves batch order exactly.
-        import queue
-        import threading
+        # overlap the running step (device_put is thread-safe; the single
+        # producer preserves batch order exactly, so resume replays).
+        from viscoin_tpu.data.loader import DevicePrefetcher
 
-        batch_q: queue.Queue = queue.Queue(maxsize=prefetch)
-        producer_stop = threading.Event()
-
-        def _producer():
-            try:
-                while not producer_stop.is_set():
-                    batch_q.put(_place(*_pull()))
-            except BaseException as e:  # surfaced on the consumer side
-                batch_q.put(e)
-
-        threading.Thread(target=_producer, daemon=True,
-                         name="viscoin-prefetch").start()
-
-        def next_batch():
-            item = batch_q.get()
-            if isinstance(item, BaseException):
-                raise item
-            return item
+        prefetcher = DevicePrefetcher(lambda: _place(*_pull()), prefetch)
+        next_batch = prefetcher.next
     else:
         def next_batch():
             return _place(*_pull())
@@ -822,15 +805,9 @@ def train_viscoin(
     finally:
         # Producer shutdown must run on EVERY exit (step exception, OOM,
         # KeyboardInterrupt, checkpoint IO error): a leaked producer blocks
-        # forever in batch_q.put, pinning its device-resident batches and
-        # the loader. Unblock one waiting put, then let the thread exit.
-        if producer_stop is not None:
-            producer_stop.set()
-            while True:
-                try:
-                    batch_q.get_nowait()
-                except Exception:
-                    break
+        # forever in put(), pinning its device-resident batches.
+        if prefetcher is not None:
+            prefetcher.close()
     sync_models()
     ckpt.wait_for_saves()  # join (and surface errors from) async checkpoints
     return models
